@@ -1,0 +1,68 @@
+"""AT-MGRIT: asynchronous-truncated coarsest-level solves.
+
+Re-implements the reference ``AtMgrit`` (reference:
+src/pymgrit/core/at_mgrit.py:16-249, the "distance-k" algorithm of Hahne et
+al.): instead of the sequential coarsest-grid forward solve, every coarsest
+point integrates only its own truncated local window of length k.
+
+The reference realizes this with an allgather on a "black" communicator plus
+a bcast on a "green" communicator and per-rank sequential re-integration
+(at_mgrit.py:45-76).  On TPU the whole construction collapses into one
+batched kernel: a ``vmap`` over all coarsest points of a masked
+``lax.scan`` of length k-1 — every local window integrates simultaneously.
+In the sharded setting the window states arrive via an ``all_gather`` along
+the time mesh axis; no communicator splitting is needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pymgrit_tpu.core import vector
+from pymgrit_tpu.core.solver import Mgrit
+
+
+class AtMgrit(Mgrit):
+    """MGRIT variant with truncated local coarse grids (distance k)."""
+
+    def __init__(self, k: int, conv_crit: int = 0, *args, **kwargs):
+        self.k = k
+        if conv_crit not in [0, 1]:
+            raise Exception(
+                'Local convergence criteria are not implemented for AT-MGRIT. Please select a global criterion.')
+        super().__init__(conv_crit=conv_crit, *args, **kwargs)
+
+    def _forward_solve(self, lvl, u, g):
+        """Truncated local solves on the coarsest level (reference
+        at_mgrit.py:37-88, single-process branch 78-86 — the distributed
+        branch computes the same values per point)."""
+        if lvl != self.lvl_max - 1 or self.lvl_max == 1:
+            return super()._forward_solve(lvl, u, g)
+
+        info = self.levels[lvl]
+        nt = info.nt
+        t = jnp.asarray(info.t)
+        k = self.k
+        pts = np.arange(nt)
+        window_start = np.maximum(0, pts - k + 1)
+
+        # Lane p starts from the *snapshot* value at its window start and
+        # re-integrates <= k-1 steps: x <- g[i] + step(x) for
+        # i in [window_start+1, p].
+        x = vector.take(u, jnp.asarray(window_start))  # (nt, ...)
+        vstep = self._vstep(lvl)
+        step_idx = jnp.asarray(window_start)[None, :] + 1 + jnp.arange(k - 1)[:, None]  # (k-1, nt)
+        active = step_idx <= jnp.asarray(pts)[None, :]
+        step_idx_cl = jnp.minimum(step_idx, nt - 1)
+
+        def body(carry, inp):
+            idx, act = inp
+            stepped = vector.add(vector.take(g, idx), vstep(carry, t[idx - 1], t[idx]))
+            carry = vector.where(act, stepped, carry)
+            return carry, None
+
+        x, _ = jax.lax.scan(body, x, (step_idx_cl, active))
+        # Point 0 keeps its original value (no steps are active for it).
+        return x

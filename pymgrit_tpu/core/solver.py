@@ -1,0 +1,479 @@
+"""TPU-native MGRIT solver in FAS formulation.
+
+Re-implements the full algorithm of the reference ``Mgrit`` class (reference:
+src/pymgrit/core/mgrit.py:20-858) with a fundamentally different execution
+model:
+
+* Solution state per level is a *tube*: a pytree whose leaves have a leading
+  time axis (nt_lvl, ...).  There are no per-point Vector objects.
+* F-relaxation (reference mgrit.py:292-333, a per-point Python loop with MPI
+  halo messages) becomes ``lax.scan`` over the intra-interval position with a
+  ``vmap`` over *all* C-intervals at once — every F-interval of the level
+  relaxes simultaneously on the chip.
+* C-relaxation (mgrit.py:335-370), the FAS restriction (mgrit.py:488-549),
+  the error correction (mgrit.py:715-726) and the residual (mgrit.py:387-413)
+  are batched vmapped step evaluations at all C-points.
+* The coarsest-level sequential solve (mgrit.py:459-486) is a ``lax.scan``.
+* The MPI tag-ledger / isend machinery (mgrit.py:192-196, 648-713)
+  disappears: in SPMD execution collectives are ordered by program order; the
+  distributed version (pymgrit_tpu.parallel) shards the time axis of the same
+  tubes over a device mesh.
+
+The iteration structure (V-/F-cycles, FCF-relaxation counts, nested
+iteration, convergence criteria 0-3, C-relaxation weight) matches the
+reference exactly so that residual histories reproduce the published golden
+values (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pymgrit_tpu.core import vector
+from pymgrit_tpu.core.application import Application
+from pymgrit_tpu.core.grid_transfer import GridTransfer, GridTransferCopy
+from pymgrit_tpu.core.levels import LevelInfo, build_level_infos, validate_hierarchy
+
+
+class Mgrit:
+    """MGRIT solver (drop-in parity with reference mgrit.py:20, constructor
+    parameters mirror mgrit.py:33-69 minus the MPI communicators, which are
+    replaced by an optional device mesh — see pymgrit_tpu.parallel)."""
+
+    def __init__(self, problem: List[Application], transfer: List[GridTransfer] = None,
+                 weight_c: float = 1.0, max_iter: int = 100, tol: float = 1e-7,
+                 nested_iteration: bool = True, cf_iter=1, cycle_type: str = 'V',
+                 mesh=None, logging_lvl: int = logging.INFO, output_fcn=None,
+                 output_lvl: int = 1, t_norm: int = 2, random_init_guess: bool = False,
+                 conv_crit: int = 0, rng_seed: int = 0) -> None:
+        logging.basicConfig(format='%(levelname)s - %(asctime)s - %(message)s',
+                            datefmt='%d-%m-%y %H:%M:%S', level=logging_lvl, stream=sys.stdout)
+
+        if transfer is None:
+            transfer = [GridTransferCopy() for _ in range(len(problem) - 1)]
+
+        # ---- validation (messages mirror reference mgrit.py:75-120) ----
+        if len(problem) != (len(transfer) + 1):
+            raise Exception('There should be exactly one transfer operator for each level except the coarsest grid')
+        validate_hierarchy([p.t for p in problem])
+        if cycle_type not in ('V', 'F'):
+            raise Exception("Cycle-type " + str(cycle_type) + " is not implemented. Choose 'V' or 'F'")
+        if output_lvl not in [0, 1, 2]:
+            raise Exception("Unknown output level. Choose 0, 1 or 2.")
+        if t_norm not in [1, 2, 3]:
+            raise Exception('Unknown norm. Please choose 1 (one norm), 2 (two-norm) or 3 (inf-norm)')
+        if conv_crit not in [0, 1, 2, 3]:
+            raise Exception(
+                'Unknown convergence criterion. Please choose: '
+                '0 (global space-time residual), '
+                '1 (global jump)'
+                '2 (local space-time residual)'
+                '3 (local jump)')
+        if isinstance(cf_iter, int):
+            cf_iter = [cf_iter for _ in range(len(problem))]
+        elif isinstance(cf_iter, list):
+            if len(cf_iter) < len(problem) - 1:
+                raise Exception(
+                    'Too few cf_iter. '
+                    'Specify a list of values for all but the coarsest level or an integer (used for all levels).')
+        else:
+            raise Exception(
+                'Incorrect datatype cf_iter. '
+                'Specify a list of values for all but the coarsest level or an integer ( used for all levels).')
+
+        self.problem = problem
+        self.transfer = transfer
+        self.weight_c = weight_c
+        self.lvl_max = len(problem)
+        self.tol = tol
+        self.cf_iter = cf_iter
+        self.cycle_type = cycle_type
+        self.random_init_guess = random_init_guess
+        self.iter_max = max_iter
+        self.nes_it = nested_iteration
+        self.conv = np.zeros(max_iter + 1)
+        self.conv_crit = conv_crit
+        self.global_conv_crit = conv_crit in (0, 1)
+        self.t_norm_ord = 1 if t_norm == 1 else (None if t_norm == 2 else jnp.inf)
+        self.output_lvl = output_lvl
+        self.output_fcn = output_fcn if (output_fcn is not None and callable(output_fcn)) else None
+        self.solve_iter = 0
+        self.runtime_solve = 0.0
+        self.runtime_setup = 0.0
+        self.mesh = mesh
+
+        # ---- static level structure ----
+        runtime_setup_start = time.time()
+        self.log_info("Start setup")
+        self.levels: List[LevelInfo] = build_level_infos([p.t for p in problem])
+        self.m = [li.m for li in self.levels]
+        # Warn on non-uniform coarsening (reference mgrit.py:215-217)
+        for lvl in range(self.lvl_max - 1):
+            d = np.diff(self.levels[lvl].cpts)
+            if d.size and not np.all(d == d[0]):
+                logging.warning('Non-uniform coarsening between level ' + str(lvl) + ' and ' + str(lvl + 1) +
+                                '. Poorly tested.')
+
+        self.step_fns: List[Callable] = [p.step for p in problem]
+        self.restrict_fns: List[Callable] = [tr.restriction for tr in transfer]
+        self.interp_fns: List[Callable] = [tr.interpolation for tr in transfer]
+
+        # ---- allocate tubes (reference create_u_v_g, mgrit.py:840-858) ----
+        self.u: List = []
+        self.v: List = []
+        self.g: List = []
+        key = jax.random.PRNGKey(rng_seed)
+        for lvl in range(self.lvl_max):
+            nt = self.levels[lvl].nt
+            template = vector.as_f64(problem[lvl].vector_template)
+            if lvl == 0 and random_init_guess:
+                key, sub = jax.random.split(key)
+                tube = jax.vmap(lambda k: vector.random_like(template, k))(
+                    jax.random.split(sub, nt))
+            else:
+                tube = vector.tube_of(template, nt)
+            # Seed u[lvl][0] with the level's initial condition (mgrit.py:857-858)
+            tube = vector.set_at(tube, np.array([0]),
+                                 jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None],
+                                                        vector.as_f64(problem[lvl].vector_t_start)))
+            self.u.append(tube)
+            if lvl == 0:
+                self.v.append(None)
+                self.g.append(None)
+            else:
+                self.v.append(vector.zeros_like(tube))
+                self.g.append(vector.zeros_like(tube))
+
+        # ---- jitted drivers ----
+        self._jit_nested = jax.jit(self._nested_iteration_fn)
+        self._jit_iter_first = jax.jit(lambda s: self._iteration_fn(s, lvl0_first_f=True))
+        self._jit_iter_rest = jax.jit(lambda s: self._iteration_fn(s, lvl0_first_f=False))
+        self._jit_residual_conv = jax.jit(self._residual_conv_fn)
+        self._jit_jump_conv = jax.jit(self._jump_conv_fn)
+
+        if nested_iteration:
+            state = self._jit_nested(self._get_state())
+            self._set_state(state)
+
+        self.save_values_last_iter = None
+        if conv_crit in (1, 3):
+            self.save_values_last_iter = vector.take(self.u[0], self.levels[0].cpts)
+
+        self.runtime_setup = time.time() - runtime_setup_start
+        if self.output_fcn is not None and self.output_lvl == 2:
+            self.output_fcn(self)
+        self.log_info(f"Setup took {self.runtime_setup} s")
+
+    # ------------------------------------------------------------------
+    # state helpers
+    # ------------------------------------------------------------------
+
+    def _get_state(self):
+        return (tuple(self.u), tuple(self.v), tuple(self.g))
+
+    def _set_state(self, state):
+        u, v, g = state
+        self.u = list(u)
+        self.v = list(v)
+        self.g = list(g)
+
+    def log_info(self, message: str) -> None:
+        logging.info(message)
+
+    # ------------------------------------------------------------------
+    # batched kernels (pure; called under jit)
+    # ------------------------------------------------------------------
+
+    def _vstep(self, lvl):
+        return jax.vmap(self.step_fns[lvl], in_axes=(0, 0, 0))
+
+    def _f_relax(self, lvl, u, g):
+        """All F-intervals relax simultaneously (reference f_relax,
+        mgrit.py:292-333: sequential within an interval, batched across)."""
+        info = self.levels[lvl]
+        ch = info.chains
+        if ch is None or ch.seed.size == 0 or ch.lmax == 0:
+            return u
+        nt = info.nt
+        x = vector.take(u, ch.seed)  # (J, ...) seeds: owning C-point states
+        # Scan inputs laid out (Lmax, J)
+        t_prev = jnp.asarray(ch.t_prev.T)
+        t_curr = jnp.asarray(ch.t_curr.T)
+        mask = jnp.asarray(ch.mask.T)
+        f_idx_cl = jnp.asarray(np.minimum(ch.f_idx.T, nt - 1))  # clipped for g-gather
+        vstep = self._vstep(lvl)
+
+        if lvl == 0:
+            def body(carry, inp):
+                tp, tc, mk, _ = inp
+                stepped = vstep(carry, tp, tc)
+                carry = vector.where(mk, stepped, carry)
+                return carry, carry
+        else:
+            def body(carry, inp):
+                tp, tc, mk, gi = inp
+                stepped = vector.add(vector.take(g, gi), vstep(carry, tp, tc))
+                carry = vector.where(mk, stepped, carry)
+                return carry, carry
+
+        _, ys = jax.lax.scan(body, x, (t_prev, t_curr, mask, f_idx_cl))
+        # Scatter all (Lmax, J) results; padding lanes carry index nt -> dropped
+        idx_flat = jnp.asarray(ch.f_idx.T.reshape(-1))
+        vals_flat = jax.tree_util.tree_map(lambda a: a.reshape((-1,) + a.shape[2:]), ys)
+        return vector.set_at(u, idx_flat, vals_flat, mode="drop")
+
+    def _c_relax(self, lvl, u, g):
+        """Weighted C-relaxation at all C-points at once (reference c_relax,
+        mgrit.py:335-370; weighted-Jacobi update mgrit.py:359-368)."""
+        info = self.levels[lvl]
+        ci = info.cpts[1:]  # global first point is never relaxed
+        if ci.size == 0:
+            return u
+        ci = jnp.asarray(ci)
+        t = jnp.asarray(info.t)
+        prev = vector.take(u, ci - 1)
+        stepped = self._vstep(lvl)(prev, t[ci - 1], t[ci])
+        if lvl > 0:
+            stepped = vector.add(vector.take(g, ci), stepped)
+        if self.weight_c == 1.0:
+            unew = stepped
+        else:
+            unew = vector.add(vector.scale(stepped, self.weight_c),
+                              vector.scale(vector.take(u, ci), 1.0 - self.weight_c))
+        return vector.set_at(u, ci, unew)
+
+    def _forward_solve(self, lvl, u, g):
+        """Sequential time stepping as lax.scan (reference forward_solve,
+        mgrit.py:459-486)."""
+        info = self.levels[lvl]
+        nt = info.nt
+        if nt <= 1:
+            return u
+        t = jnp.asarray(info.t)
+        u0 = vector.take(u, jnp.asarray([0]))
+        x0 = jax.tree_util.tree_map(lambda a: a[0], u0)
+        step = self.step_fns[lvl]
+        if lvl > 0:
+            g_rest = vector.take(g, jnp.arange(1, nt))
+
+            def body(carry, inp):
+                t0, t1, gi = inp
+                nxt = vector.add(gi, step(carry, t0, t1))
+                return nxt, nxt
+
+            _, rest = jax.lax.scan(body, x0, (t[:-1], t[1:], g_rest))
+        else:
+            def body(carry, inp):
+                t0, t1 = inp
+                nxt = step(carry, t0, t1)
+                return nxt, nxt
+
+            _, rest = jax.lax.scan(body, x0, (t[:-1], t[1:]))
+        return vector.concat([u0, rest])
+
+    def _fas_residual(self, lvl, u_f, g_f, u_c_old, g_c_old):
+        """Restriction + FAS right-hand side, batched over C-points
+        (reference fas_residual, mgrit.py:488-549)."""
+        info = self.levels[lvl]
+        info_c = self.levels[lvl + 1]
+        cpts = jnp.asarray(info.cpts)
+        nc = info.cpts.size
+        t_f = jnp.asarray(info.t)
+        t_c = jnp.asarray(info_c.t)
+        vrestrict = jax.vmap(self.restrict_fns[lvl])
+
+        u_c = vrestrict(vector.take(u_f, cpts))        # u[lvl+1] := R u[lvl] at C-points
+        v_c = jax.tree_util.tree_map(lambda x: x, u_c)  # FAS saved iterate (mgrit.py:520)
+
+        ci = cpts[1:]
+        prev = vector.take(u_f, ci - 1)
+        stepped_f = self._vstep(lvl)(prev, t_f[ci - 1], t_f[ci])
+        if lvl == 0:
+            inner = vector.sub(stepped_f, vector.take(u_f, ci))
+        else:
+            inner = vector.add(vector.sub(vector.take(g_f, ci), vector.take(u_f, ci)), stepped_f)
+        r = vrestrict(inner)                            # (nc-1, ...)
+
+        idx_prev = jnp.arange(0, nc - 1)
+        stepped_c = self._vstep(lvl + 1)(vector.take(v_c, idx_prev), t_c[:-1], t_c[1:])
+        g_tail = vector.add(r, vector.sub(vector.take(v_c, jnp.arange(1, nc)), stepped_c))
+        g_c = vector.set_at(g_c_old, jnp.arange(1, nc), g_tail)  # g[lvl+1][0] never written
+        return u_c, v_c, g_c
+
+    def _error_correction(self, lvl, u_f, u_c, v_c):
+        """Coarse-grid correction at C-points (reference error_correction,
+        mgrit.py:715-726)."""
+        info = self.levels[lvl]
+        nc = info.cpts.size
+        if nc <= 1:
+            return u_f
+        vinterp = jax.vmap(self.interp_fns[lvl])
+        err = vinterp(vector.sub(vector.take(u_c, jnp.arange(1, nc)),
+                                 vector.take(v_c, jnp.arange(1, nc))))
+        return vector.add_at(u_f, jnp.asarray(info.cpts[1:]), err)
+
+    # ------------------------------------------------------------------
+    # cycles
+    # ------------------------------------------------------------------
+
+    def _cycle(self, lvl, u, v, g, cycle_type, first_f, lvl0_first_f):
+        """One recursive MGRIT cycle (reference iteration, mgrit.py:261-290).
+        u, v, g are python lists mutated in place while tracing."""
+        if lvl == self.lvl_max - 1:
+            u[lvl] = self._forward_solve(lvl, u[lvl], g[lvl])
+            return
+
+        if (lvl > 0 or lvl0_first_f) and first_f:
+            u[lvl] = self._f_relax(lvl, u[lvl], g[lvl])
+
+        for _ in range(self.cf_iter[lvl]):
+            u[lvl] = self._c_relax(lvl, u[lvl], g[lvl])
+            u[lvl] = self._f_relax(lvl, u[lvl], g[lvl])
+
+        u[lvl + 1], v[lvl + 1], g[lvl + 1] = self._fas_residual(
+            lvl, u[lvl], g[lvl], u[lvl + 1], g[lvl + 1])
+
+        self._cycle(lvl + 1, u, v, g, cycle_type, True, lvl0_first_f)
+
+        u[lvl] = self._error_correction(lvl, u[lvl], u[lvl + 1], v[lvl + 1])
+
+        u[lvl] = self._f_relax(lvl, u[lvl], g[lvl])
+
+        if lvl != 0 and cycle_type == 'F':
+            self._cycle(lvl, u, v, g, 'V', False, lvl0_first_f)
+
+    def _iteration_fn(self, state, lvl0_first_f):
+        u, v, g = list(state[0]), list(state[1]), list(state[2])
+        self._cycle(0, u, v, g, self.cycle_type, True, lvl0_first_f)
+        return (tuple(u), tuple(v), tuple(g))
+
+    def _nested_iteration_fn(self, state):
+        """Nested iteration initialization (reference nested_iteration,
+        mgrit.py:551-566)."""
+        u, v, g = list(state[0]), list(state[1]), list(state[2])
+        u[self.lvl_max - 1] = self._forward_solve(self.lvl_max - 1, u[self.lvl_max - 1],
+                                                  g[self.lvl_max - 1])
+        for lvl in range(self.lvl_max - 2, -1, -1):
+            nc = self.levels[lvl].cpts.size
+            vinterp = jax.vmap(self.interp_fns[lvl])
+            interped = vinterp(vector.take(u[lvl + 1], jnp.arange(1, nc)))
+            u[lvl] = vector.set_at(u[lvl], jnp.asarray(self.levels[lvl].cpts[1:]), interped)
+            if lvl > 0:
+                self._cycle(lvl, u, v, g, 'V', True, True)
+        return (tuple(u), tuple(v), tuple(g))
+
+    # ------------------------------------------------------------------
+    # convergence criteria (reference convergence_criterion, mgrit.py:415-457)
+    # ------------------------------------------------------------------
+
+    def _point_residual_norms(self, u0):
+        info = self.levels[0]
+        cpts = info.cpts if self.lvl_max > 1 else np.arange(info.nt)
+        ci = jnp.asarray(cpts[1:])
+        t = jnp.asarray(info.t)
+        prev = vector.take(u0, ci - 1)
+        stepped = self._vstep(0)(prev, t[ci - 1], t[ci])
+        r = vector.sub(stepped, vector.take(u0, ci))
+        return vector.batched_norm(r)
+
+    def _residual_conv_fn(self, state):
+        norms = self._point_residual_norms(state[0][0])
+        conv = jnp.linalg.norm(norms, ord=self.t_norm_ord)
+        all_below = jnp.all(norms < self.tol)
+        return conv, all_below
+
+    def _jump_conv_fn(self, state, u_save):
+        info = self.levels[0]
+        cpts = jnp.asarray(info.cpts if self.lvl_max > 1 else np.arange(info.nt))
+        u_c = vector.take(state[0][0], cpts)
+        jump = vector.sub(vector.take(u_c, jnp.arange(1, cpts.shape[0])),
+                          vector.take(u_save, jnp.arange(1, cpts.shape[0])))
+        norms = vector.batched_norm(jump)
+        conv = jnp.linalg.norm(norms, ord=self.t_norm_ord)
+        all_below = jnp.all(norms < self.tol)
+        return conv, all_below, u_c
+
+    # ------------------------------------------------------------------
+    # driver (reference solve, mgrit.py:590-646)
+    # ------------------------------------------------------------------
+
+    def solve(self) -> dict:
+        self.log_info("Start solve")
+        state = self._get_state()
+        runtime_solve_start = time.time()
+        for iteration in range(self.iter_max):
+            self.solve_iter = iteration + 1
+            time_it_start = time.time()
+            state = self._jit_iter_first(state) if iteration == 0 else self._jit_iter_rest(state)
+            time_it_stop = time.time()
+
+            if self.conv_crit in (0, 2):
+                conv, all_below = self._jit_residual_conv(state)
+            else:
+                conv, all_below, self.save_values_last_iter = self._jit_jump_conv(
+                    state, self.save_values_last_iter)
+            self.conv[iteration + 1] = float(conv)
+            all_below = bool(all_below)
+
+            if iteration == 0:
+                self.log_info('{0: <7}'.format(f"iter {iteration + 1}") +
+                              '{0: <32}'.format(f" | conv: {self.conv[iteration + 1]}") +
+                              '{0: <37}'.format(" | conv factor: -") +
+                              '{0: <35}'.format(f" | runtime: {time_it_stop - time_it_start} s"))
+            else:
+                self.log_info('{0: <7}'.format(f"iter {iteration + 1}") +
+                              '{0: <32}'.format(f" | conv: {self.conv[iteration + 1]}") +
+                              '{0: <37}'.format(
+                                  f" | conv factor: {self.conv[iteration + 1] / self.conv[iteration]}") +
+                              '{0: <35}'.format(f" | runtime: {time_it_stop - time_it_start} s"))
+
+            if self.output_fcn is not None and self.output_lvl == 2:
+                self._set_state(state)
+                self.output_fcn(self)
+
+            if self.global_conv_crit:
+                if self.conv[iteration + 1] < self.tol or iteration == self.iter_max - 1:
+                    break
+            else:
+                # Local criteria stop when every point is below tol
+                # (reference mgrit.py:447-448; the SPMD handshake protocol is
+                # unnecessary — a reduced all() replaces it).
+                if all_below or iteration == self.iter_max - 1:
+                    break
+
+        self._set_state(state)
+        self.runtime_solve = time.time() - runtime_solve_start
+        self.log_info(f"Solve took {self.runtime_solve} s")
+        if self.output_fcn is not None and self.output_lvl == 1:
+            self.output_fcn(self)
+        self.ouput_run_information()
+        return {'conv': self.conv[np.where(self.conv != 0)], 'time_setup': self.runtime_setup,
+                'time_solve': self.runtime_solve}
+
+    # ------------------------------------------------------------------
+    # reporting (reference ouput_run_information [sic], mgrit.py:568-588)
+    # ------------------------------------------------------------------
+
+    def ouput_run_information(self) -> None:
+        msg = ['Run parameter overview',
+               '  ' + '{0: <25}'.format('time interval') + ' : ' + '[' + str(self.problem[0].t[0]) + ', ' + str(
+                   self.problem[0].t[-1]) + ']',
+               '  ' + '{0: <25}'.format('number of time points ') + ' : ' + str(len(self.problem[0].t)),
+               '  ' + '{0: <25}'.format('max dt ') + ' : ' + str(
+                   np.max(self.problem[0].t[1:] - self.problem[0].t[:-1])),
+               '  ' + '{0: <25}'.format('number of levels') + ' : ' + str(self.lvl_max),
+               '  ' + '{0: <25}'.format('coarsening factors') + ' : ' + str(self.m[:-1]),
+               '  ' + '{0: <25}'.format('relaxation weight') + ' : ' + str(self.weight_c),
+               '  ' + '{0: <25}'.format('cf_iter') + ' : ' + str(self.cf_iter[:self.lvl_max - 1]),
+               '  ' + '{0: <25}'.format('nested iteration') + ' : ' + str(self.nes_it),
+               '  ' + '{0: <25}'.format('cycle type') + ' : ' + str(self.cycle_type),
+               '  ' + '{0: <25}'.format('stopping tolerance') + ' : ' + str(self.tol),
+               '  ' + '{0: <25}'.format('convergence criterion') + ' : ' + str(self.conv_crit)]
+        self.log_info(message='\n'.join(msg))

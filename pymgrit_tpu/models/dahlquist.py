@@ -1,0 +1,41 @@
+"""Dahlquist test equation u' = lambda*u.
+
+Parity target: reference src/pymgrit/dahlquist/dahlquist.py:60-111 (BE/FE/TR
+implicit-midpoint steppers, lambda configurable, IC u(0) = 1).  The state is
+a 0-d jnp array; all four integrators are closed-form scalar updates, so the
+batched relaxation sweeps reduce to pure VPU elementwise math.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pymgrit_tpu.core.application import Application
+
+
+class Dahlquist(Application):
+    """u' = lambda*u with lambda = -1 (default) and u(0) = 1."""
+
+    def __init__(self, constant_lambda: float = -1, method: str = 'BE', *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.lambda_value = constant_lambda
+        if method in ('BE', 'FE', 'TR', 'MR'):
+            self.method = method
+        else:
+            raise Exception(
+                'Unknown method. Choose BE (Backward Euler), FE (Forward Euler), TR (Trapezoidal rule) ' +
+                'or MR (implicit mid-point rule)')
+        self.vector_template = jnp.zeros(())
+        self.vector_t_start = jnp.ones(())
+
+    def step(self, u_start, t_start, t_stop):
+        z = (t_stop - t_start) * self.lambda_value
+        if self.method == 'BE':
+            return u_start / (1 - z)
+        if self.method == 'FE':
+            return (1 + z) * u_start
+        if self.method == 'TR':
+            return (1 + z / 2) / (1 - z / 2) * u_start
+        # MR: implicit mid-point rule (reference dahlquist.py:107-109)
+        k1 = -1 / (1 - z / 2) * u_start
+        return u_start + (t_stop - t_start) * k1
