@@ -40,6 +40,25 @@ class FChains:
 
 
 @dataclasses.dataclass(frozen=True)
+class CChains:
+    """Runs of *adjacent* C-points for Gauss-Seidel-exact C-relaxation.
+
+    The reference relaxes C-points in ascending index order
+    (mgrit.py:356-368), so with non-uniform coarsening an adjacent C-point
+    pair chains sequentially (u[i] uses the just-updated u[i-1]).  Runs of
+    adjacent C-points therefore scan sequentially while distinct runs batch.
+    With uniform coarsening m >= 2 every run has length 1 and the scan
+    degenerates to one fully batched step."""
+
+    c_idx: np.ndarray        # (K, Rmax) run C-point indices, padded with nt
+    mask: np.ndarray         # (K, Rmax)
+    t_prev: np.ndarray       # (K, Rmax)
+    t_curr: np.ndarray       # (K, Rmax)
+    seed_prev: np.ndarray    # (K,) predecessor index of the first run point
+    rmax: int
+
+
+@dataclasses.dataclass(frozen=True)
 class LevelInfo:
     """Static structure of one time level."""
 
@@ -49,6 +68,7 @@ class LevelInfo:
     cpts: Optional[np.ndarray]    # (nc,) indices of C-points in this level's grid
     m: int                        # coarsening factor to next level (1 on coarsest)
     chains: Optional[FChains]     # None on the coarsest level
+    c_chains: Optional[CChains]   # None on the coarsest level
     fpts: Optional[np.ndarray]    # (nf,) indices of F-points
 
 
@@ -114,6 +134,38 @@ def build_chains(t: np.ndarray, cpts: np.ndarray) -> FChains:
                    t_prev=t_prev, t_curr=t_curr, lmax=lmax)
 
 
+def build_c_chains(t: np.ndarray, cpts: np.ndarray) -> CChains:
+    """Group the relaxed C-points (all but global index 0) into maximal runs
+    of adjacent indices."""
+    nt = len(t)
+    pts = cpts[cpts != 0]
+    runs: List[List[int]] = []
+    for p in pts:
+        if runs and p == runs[-1][-1] + 1:
+            runs[-1].append(int(p))
+        else:
+            runs.append([int(p)])
+    k = len(runs)
+    rmax = max((len(r) for r in runs), default=0)
+    c_idx = np.full((k, rmax), nt, dtype=np.int64)
+    mask = np.zeros((k, rmax), dtype=bool)
+    t_prev = np.zeros((k, rmax), dtype=np.float64)
+    t_curr = np.zeros((k, rmax), dtype=np.float64)
+    seed_prev = np.zeros(k, dtype=np.int64)
+    for j, r in enumerate(runs):
+        ln = len(r)
+        c_idx[j, :ln] = r
+        mask[j, :ln] = True
+        t_prev[j, :ln] = t[np.asarray(r) - 1]
+        t_curr[j, :ln] = t[np.asarray(r)]
+        seed_prev[j] = r[0] - 1
+        if ln < rmax:
+            t_prev[j, ln:] = t[r[-1] - 1]
+            t_curr[j, ln:] = t[r[-1]]
+    return CChains(c_idx=c_idx, mask=mask, t_prev=t_prev, t_curr=t_curr,
+                   seed_prev=seed_prev, rmax=rmax)
+
+
 def build_level_infos(t_grids: List[np.ndarray]) -> List[LevelInfo]:
     """Build the static structure for a hierarchy of nested time grids."""
     infos: List[LevelInfo] = []
@@ -125,15 +177,17 @@ def build_level_infos(t_grids: List[np.ndarray]) -> List[LevelInfo]:
             cpts = classify_points(t, np.asarray(t_grids[lvl + 1], dtype=np.float64))
             m = coarsening_factor(cpts)
             chains = build_chains(t, cpts)
+            c_chains = build_c_chains(t, cpts)
             all_idx = np.arange(nt)
             fpts = np.setdiff1d(all_idx, cpts)
         else:
             cpts = np.arange(nt)
             m = 1
             chains = None
+            c_chains = None
             fpts = np.array([], dtype=np.int64)
         infos.append(LevelInfo(lvl=lvl, t=t, nt=nt, cpts=cpts, m=m,
-                               chains=chains, fpts=fpts))
+                               chains=chains, c_chains=c_chains, fpts=fpts))
     return infos
 
 

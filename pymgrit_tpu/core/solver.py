@@ -166,6 +166,8 @@ class Mgrit:
         if conv_crit in (1, 3):
             self.save_values_last_iter = vector.take(self.u[0], self.levels[0].cpts)
 
+        self._all_below = False
+
         self.runtime_setup = time.time() - runtime_setup_start
         if self.output_fcn is not None and self.output_lvl == 2:
             self.output_fcn(self)
@@ -230,24 +232,59 @@ class Mgrit:
         return vector.set_at(u, idx_flat, vals_flat, mode="drop")
 
     def _c_relax(self, lvl, u, g):
-        """Weighted C-relaxation at all C-points at once (reference c_relax,
-        mgrit.py:335-370; weighted-Jacobi update mgrit.py:359-368)."""
+        """Weighted C-relaxation (reference c_relax, mgrit.py:335-370;
+        weighted-Jacobi update mgrit.py:359-368).
+
+        The reference sweeps C-points in ascending order, so *adjacent*
+        C-points (non-uniform coarsening) chain Gauss-Seidel style.  Runs of
+        adjacent C-points scan sequentially; with uniform m >= 2 every run
+        has length 1 and this is a single fully batched step."""
         info = self.levels[lvl]
-        ci = info.cpts[1:]  # global first point is never relaxed
-        if ci.size == 0:
+        cc = info.c_chains
+        if cc is None or cc.c_idx.size == 0:
             return u
-        ci = jnp.asarray(ci)
-        t = jnp.asarray(info.t)
-        prev = vector.take(u, ci - 1)
-        stepped = self._vstep(lvl)(prev, t[ci - 1], t[ci])
-        if lvl > 0:
-            stepped = vector.add(vector.take(g, ci), stepped)
-        if self.weight_c == 1.0:
-            unew = stepped
-        else:
-            unew = vector.add(vector.scale(stepped, self.weight_c),
-                              vector.scale(vector.take(u, ci), 1.0 - self.weight_c))
-        return vector.set_at(u, ci, unew)
+        w = self.weight_c
+
+        if cc.rmax == 1:
+            ci = jnp.asarray(info.cpts[1:])
+            t = jnp.asarray(info.t)
+            prev = vector.take(u, ci - 1)
+            stepped = self._vstep(lvl)(prev, t[ci - 1], t[ci])
+            if lvl > 0:
+                stepped = vector.add(vector.take(g, ci), stepped)
+            if w == 1.0:
+                unew = stepped
+            else:
+                unew = vector.add(vector.scale(stepped, w),
+                                  vector.scale(vector.take(u, ci), 1.0 - w))
+            return vector.set_at(u, ci, unew)
+
+        nt = info.nt
+        x = vector.take(u, jnp.asarray(cc.seed_prev))  # (K, ...)
+        t_prev = jnp.asarray(cc.t_prev.T)
+        t_curr = jnp.asarray(cc.t_curr.T)
+        mask = jnp.asarray(cc.mask.T)
+        idx_cl = jnp.asarray(np.minimum(cc.c_idx.T, nt - 1))
+        vstep = self._vstep(lvl)
+
+        def body(carry, inp):
+            tp, tc, mk, ci = inp
+            stepped = vstep(carry, tp, tc)
+            if lvl > 0:
+                stepped = vector.add(vector.take(g, ci), stepped)
+            u_old = vector.take(u, ci)
+            if w == 1.0:
+                unew = stepped
+            else:
+                unew = vector.add(vector.scale(stepped, w),
+                                  vector.scale(u_old, 1.0 - w))
+            carry = vector.where(mk, unew, carry)
+            return carry, carry
+
+        _, ys = jax.lax.scan(body, x, (t_prev, t_curr, mask, idx_cl))
+        idx_flat = jnp.asarray(cc.c_idx.T.reshape(-1))
+        vals_flat = jax.tree_util.tree_map(lambda a: a.reshape((-1,) + a.shape[2:]), ys)
+        return vector.set_at(u, idx_flat, vals_flat, mode="drop")
 
     def _forward_solve(self, lvl, u, g):
         """Sequential time stepping as lax.scan (reference forward_solve,
@@ -404,6 +441,19 @@ class Mgrit:
     # driver (reference solve, mgrit.py:590-646)
     # ------------------------------------------------------------------
 
+    def convergence_criterion(self, iteration: int) -> None:
+        """Compute self.conv[iteration].  Overridable, mirroring the
+        documented subclassing pattern (reference
+        examples/example_convergence_criterion.py:13-61)."""
+        state = self._get_state()
+        if self.conv_crit in (0, 2):
+            conv, all_below = self._jit_residual_conv(state)
+        else:
+            conv, all_below, self.save_values_last_iter = self._jit_jump_conv(
+                state, self.save_values_last_iter)
+        self.conv[iteration] = float(conv)
+        self._all_below = bool(all_below)
+
     def solve(self) -> dict:
         self.log_info("Start solve")
         state = self._get_state()
@@ -414,13 +464,8 @@ class Mgrit:
             state = self._jit_iter_first(state) if iteration == 0 else self._jit_iter_rest(state)
             time_it_stop = time.time()
 
-            if self.conv_crit in (0, 2):
-                conv, all_below = self._jit_residual_conv(state)
-            else:
-                conv, all_below, self.save_values_last_iter = self._jit_jump_conv(
-                    state, self.save_values_last_iter)
-            self.conv[iteration + 1] = float(conv)
-            all_below = bool(all_below)
+            self._set_state(state)
+            self.convergence_criterion(iteration + 1)
 
             if iteration == 0:
                 self.log_info('{0: <7}'.format(f"iter {iteration + 1}") +
@@ -435,7 +480,6 @@ class Mgrit:
                               '{0: <35}'.format(f" | runtime: {time_it_stop - time_it_start} s"))
 
             if self.output_fcn is not None and self.output_lvl == 2:
-                self._set_state(state)
                 self.output_fcn(self)
 
             if self.global_conv_crit:
@@ -445,10 +489,9 @@ class Mgrit:
                 # Local criteria stop when every point is below tol
                 # (reference mgrit.py:447-448; the SPMD handshake protocol is
                 # unnecessary — a reduced all() replaces it).
-                if all_below or iteration == self.iter_max - 1:
+                if self._all_below or iteration == self.iter_max - 1:
                     break
 
-        self._set_state(state)
         self.runtime_solve = time.time() - runtime_solve_start
         self.log_info(f"Solve took {self.runtime_solve} s")
         if self.output_fcn is not None and self.output_lvl == 1:
