@@ -65,4 +65,4 @@ class AtMgrit(Mgrit):
 
         x, _ = jax.lax.scan(body, x, (step_idx_cl, active))
         # Point 0 keeps its original value (no steps are active for it).
-        return x
+        return self._pad_tube(x, lvl)

@@ -125,13 +125,26 @@ class Mgrit:
         self.restrict_fns: List[Callable] = [tr.restriction for tr in transfer]
         self.interp_fns: List[Callable] = [tr.interpolation for tr in transfer]
 
+        # ---- storage sizes: pad the time axis to a multiple of the mesh
+        # 'time' axis so tubes shard evenly; pad rows are never read (all
+        # solver indices are static and < nt; masked scatters write row nt,
+        # i.e. the first pad row, harmlessly). ----
+        self.nt_store: List[int] = []
+        n_time_axis = mesh.shape["time"] if mesh is not None else 1
+        for lvl in range(self.lvl_max):
+            nt = self.levels[lvl].nt
+            if n_time_axis > 1 and nt >= n_time_axis and nt % n_time_axis != 0:
+                self.nt_store.append(((nt + n_time_axis - 1) // n_time_axis) * n_time_axis)
+            else:
+                self.nt_store.append(nt)
+
         # ---- allocate tubes (reference create_u_v_g, mgrit.py:840-858) ----
         self.u: List = []
         self.v: List = []
         self.g: List = []
         key = jax.random.PRNGKey(rng_seed)
         for lvl in range(self.lvl_max):
-            nt = self.levels[lvl].nt
+            nt = self.nt_store[lvl]
             template = vector.as_f64(problem[lvl].vector_template)
             if lvl == 0 and random_init_guess:
                 key, sub = jax.random.split(key)
@@ -151,10 +164,22 @@ class Mgrit:
                 self.v.append(vector.zeros_like(tube))
                 self.g.append(vector.zeros_like(tube))
 
+        # ---- optional device-mesh distribution (time x space GSPMD) ----
+        self.space_axis = getattr(problem[0], "space_sharding_axis", None)
+        self._shardings = None
+        if mesh is not None:
+            from pymgrit_tpu.parallel.sharding import state_shardings, shard_state
+            self._shardings = state_shardings(self._get_state(), self.levels, mesh,
+                                              self.space_axis)
+            self._set_state(shard_state(self._get_state(), self._shardings))
+
         # ---- jitted drivers ----
-        self._jit_nested = jax.jit(self._nested_iteration_fn)
-        self._jit_iter_first = jax.jit(lambda s: self._iteration_fn(s, lvl0_first_f=True))
-        self._jit_iter_rest = jax.jit(lambda s: self._iteration_fn(s, lvl0_first_f=False))
+        out_s = self._shardings
+        self._jit_nested = jax.jit(self._nested_iteration_fn, out_shardings=out_s)
+        self._jit_iter_first = jax.jit(lambda s: self._iteration_fn(s, lvl0_first_f=True),
+                                       out_shardings=out_s)
+        self._jit_iter_rest = jax.jit(lambda s: self._iteration_fn(s, lvl0_first_f=False),
+                                      out_shardings=out_s)
         self._jit_residual_conv = jax.jit(self._residual_conv_fn)
         self._jit_jump_conv = jax.jit(self._jump_conv_fn)
 
@@ -195,6 +220,15 @@ class Mgrit:
 
     def _vstep(self, lvl):
         return jax.vmap(self.step_fns[lvl], in_axes=(0, 0, 0))
+
+    def _pad_tube(self, tube, lvl):
+        """Pad a freshly built (nt, ...) tube to the level's storage size."""
+        store, nt = self.nt_store[lvl], self.levels[lvl].nt
+        if store == nt:
+            return tube
+        return jax.tree_util.tree_map(
+            lambda x: jnp.concatenate(
+                [x, jnp.zeros((store - nt,) + x.shape[1:], x.dtype)]), tube)
 
     def _f_relax(self, lvl, u, g):
         """All F-intervals relax simultaneously (reference f_relax,
@@ -313,7 +347,7 @@ class Mgrit:
                 return nxt, nxt
 
             _, rest = jax.lax.scan(body, x0, (t[:-1], t[1:]))
-        return vector.concat([u0, rest])
+        return self._pad_tube(vector.concat([u0, rest]), lvl)
 
     def _fas_residual(self, lvl, u_f, g_f, u_c_old, g_c_old):
         """Restriction + FAS right-hand side, batched over C-points
@@ -326,7 +360,7 @@ class Mgrit:
         t_c = jnp.asarray(info_c.t)
         vrestrict = jax.vmap(self.restrict_fns[lvl])
 
-        u_c = vrestrict(vector.take(u_f, cpts))        # u[lvl+1] := R u[lvl] at C-points
+        u_c = self._pad_tube(vrestrict(vector.take(u_f, cpts)), lvl + 1)
         v_c = jax.tree_util.tree_map(lambda x: x, u_c)  # FAS saved iterate (mgrit.py:520)
 
         ci = cpts[1:]

@@ -80,6 +80,9 @@ class Heat2D(Application):
         self._xi = jnp.asarray(self.x_2d[1:-1])       # (nx-2, 1)
         self._yi = jnp.asarray(self.y_2d[:, 1:-1])    # (1, ny-2)
 
+        # State axis 0 (x) may be sharded over the mesh 'space' axis.
+        self.space_sharding_axis = 0
+
         self.vector_template = jnp.zeros((nx, ny))
         init = np.asarray(init_cond(self.x_2d, self.y_2d), dtype=np.float64) * np.ones((nx, ny))
         init[:, 0] = np.asarray(self.bc_left_arr)

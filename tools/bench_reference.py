@@ -1,0 +1,57 @@
+"""Measure the reference PyMGRIT on the bench config (serial, CPU, f64).
+
+Run with: PYTHONPATH=tools/mpi4py_stub:/root/reference/src python tools/bench_reference.py
+Prints one JSON line with solve time, iterations, and fine-level step count.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+from pymgrit.heat.heat_2d import Heat2D
+from pymgrit.core.mgrit import Mgrit
+
+
+def main(nt=4097, nx=65, ny=65, levels=4, m=4, tol=1e-7, max_iter=10):
+    problem = []
+    t = np.linspace(0, 1, nt)
+    for lvl in range(levels):
+        problem.append(Heat2D(x_start=0, x_end=1, y_start=0, y_end=1, nx=nx, ny=ny,
+                              a=1.0,
+                              rhs=lambda x, y, t: np.sin(np.pi * x) * np.sin(np.pi * y) * np.ones_like(t * x * y),
+                              init_cond=lambda x, y: np.sin(np.pi * x) * np.sin(np.pi * y),
+                              t_interval=t[:: m ** lvl]))
+
+    # Count fine-level step evaluations
+    counter = {"n": 0}
+    orig_step = problem[0].step
+
+    def counted_step(u_start, t_start, t_stop):
+        counter["n"] += 1
+        return orig_step(u_start=u_start, t_start=t_start, t_stop=t_stop)
+
+    problem[0].step = counted_step
+
+    mgrit = Mgrit(problem=problem, tol=tol, max_iter=max_iter, logging_lvl=30)
+    setup_steps = counter["n"]
+    t0 = time.time()
+    info = mgrit.solve()
+    solve_time = time.time() - t0
+    solve_steps = counter["n"] - setup_steps
+    print(json.dumps({
+        "framework": "pymgrit-reference",
+        "config": f"heat_2d {nx}x{ny} nt={nt} levels={levels} m={m}",
+        "iterations": len(info["conv"]),
+        "conv": [float(c) for c in info["conv"]],
+        "solve_time_s": solve_time,
+        "setup_time_s": info["time_setup"],
+        "fine_steps_in_solve": solve_steps,
+        "steps_per_sec": solve_steps / solve_time,
+    }))
+
+
+if __name__ == "__main__":
+    nt = int(sys.argv[1]) if len(sys.argv) > 1 else 4097
+    main(nt=nt)
