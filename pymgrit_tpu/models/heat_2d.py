@@ -120,10 +120,13 @@ class Heat2D(Application):
     def step(self, u_start, t_start, t_stop):
         dt = t_stop - t_start
         if self.theta == 0.0:
-            # FE (heat_2d.py:330-346)
-            new = u_start - dt * self._apply_L(u_start)
+            # FE (heat_2d.py:330-346).  Note the reference *adds* the BC data
+            # onto the carried-over boundary values (new = bc_array + (I-dtL)u,
+            # heat_2d.py:333-343) instead of overwriting — replicated here.
+            bc_ring = self._set_bc(jnp.zeros_like(u_start))
+            new = bc_ring + u_start - dt * self._apply_L(u_start)
             new = new.at[1:-1, 1:-1].add(dt * self.rhs(x=self._xi, y=self._yi, t=t_start))
-            return self._set_bc(new)
+            return new
 
         # Implicit rhs (compute_rhs, heat_2d.py:289-320)
         if self.theta == 1.0:
