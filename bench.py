@@ -108,7 +108,8 @@ def parity_iters_cpu():
         "print('PARITY' + json.dumps({'iterations': len(info['conv']),"
         " 'conv': [float(c) for c in info['conv']]}))\n"
     )
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               PYMGRIT_TPU_NO_X64="")
     try:
         out = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
                              capture_output=True, text=True, timeout=1800)
@@ -140,6 +141,10 @@ def reference_baseline():
 
 
 def main():
+    # Throughput is measured in f32 — the TPU production dtype (full-precision
+    # 6-pass matmuls; bf16-default would stall MGRIT).  fp64 parity to 1e-10
+    # is verified separately on the CPU backend (TPUs demote f64).
+    os.environ.setdefault("PYMGRIT_TPU_NO_X64", "1")
     ours = run_ours()
     ref = reference_baseline()
     parity = parity_iters_cpu()
@@ -153,6 +158,7 @@ def main():
         "backend": ours["backend"],
         "iterations_measured": ours["iterations"],
         "solve_time_s": round(ours["solve_time_s"], 3),
+        "conv": [float(f"{c:.4e}") for c in ours["conv"]],
         "parity_iters_to_1e-10_cpu_f64": parity["iterations"] if parity else None,
         "reference_steps_per_sec": round(ref["steps_per_sec"], 2) if ref else None,
         "reference_iterations": ref["iterations"] if ref else None,

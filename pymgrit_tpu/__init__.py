@@ -17,10 +17,16 @@ import os
 # MGRIT parity with the reference's numpy-double math (residual histories to
 # 1e-10 tolerances) requires fp64.  Enable by default; opt out with
 # PYMGRIT_TPU_NO_X64=1 before the first import.
-if not os.environ.get("PYMGRIT_TPU_NO_X64"):
-    import jax
+import jax
 
+if not os.environ.get("PYMGRIT_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
+
+# TPU matmuls default to bf16 passes (precision=DEFAULT), which destroys the
+# spectral implicit solves (relative error ~1e-2 -> MGRIT stalls).  MGRIT's
+# algebra needs full input precision; 'highest' is a no-op on CPU and uses
+# 6-pass f32 emulation on the MXU.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 from pymgrit_tpu.core.application import Application
 from pymgrit_tpu.core.grid_transfer import GridTransfer, GridTransferCopy

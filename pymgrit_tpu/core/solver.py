@@ -122,6 +122,10 @@ class Mgrit:
                                 '. Poorly tested.')
 
         self.step_fns: List[Callable] = [p.step for p in problem]
+        # Applications may define a custom per-state norm (e.g. the machine
+        # state excludes its scalar outputs, reference
+        # vector_machine.py:101-109); default is the flat 2-norm.
+        self.state_norm: Callable = getattr(problem[0], "state_norm", vector.norm)
         self.restrict_fns: List[Callable] = [tr.restriction for tr in transfer]
         self.interp_fns: List[Callable] = [tr.interpolation for tr in transfer]
 
@@ -184,14 +188,19 @@ class Mgrit:
         self._jit_jump_conv = jax.jit(self._jump_conv_fn)
 
         if nested_iteration:
-            state = self._jit_nested(self._get_state())
-            self._set_state(state)
+            self._run_nested_iteration()
 
         self.save_values_last_iter = None
         if conv_crit in (1, 3):
             self.save_values_last_iter = vector.take(self.u[0], self.levels[0].cpts)
 
         self._all_below = False
+
+        # Convenience views for user output hooks (reference exposes self.t /
+        # self.index_local / self.u to output_fcn, docs/source/usage/
+        # parallelism.rst:29-83). Global serial view: every point is local.
+        self.t = [li.t for li in self.levels]
+        self.index_local = [np.arange(li.nt) for li in self.levels]
 
         self.runtime_setup = time.time() - runtime_setup_start
         if self.output_fcn is not None and self.output_lvl == 2:
@@ -425,6 +434,11 @@ class Mgrit:
         self._cycle(0, u, v, g, self.cycle_type, True, lvl0_first_f)
         return (tuple(u), tuple(v), tuple(g))
 
+    def _run_nested_iteration(self):
+        """Overridable wrapper around the jitted nested iteration (the
+        machine solver wraps it with a PWM->sin source switch)."""
+        self._set_state(self._jit_nested(self._get_state()))
+
     def _nested_iteration_fn(self, state):
         """Nested iteration initialization (reference nested_iteration,
         mgrit.py:551-566)."""
@@ -452,7 +466,7 @@ class Mgrit:
         prev = vector.take(u0, ci - 1)
         stepped = self._vstep(0)(prev, t[ci - 1], t[ci])
         r = vector.sub(stepped, vector.take(u0, ci))
-        return vector.batched_norm(r)
+        return jax.vmap(self.state_norm)(r)
 
     def _residual_conv_fn(self, state):
         norms = self._point_residual_norms(state[0][0])
@@ -466,7 +480,7 @@ class Mgrit:
         u_c = vector.take(state[0][0], cpts)
         jump = vector.sub(vector.take(u_c, jnp.arange(1, cpts.shape[0])),
                           vector.take(u_save, jnp.arange(1, cpts.shape[0])))
-        norms = vector.batched_norm(jump)
+        norms = jax.vmap(self.state_norm)(jump)
         conv = jnp.linalg.norm(norms, ord=self.t_norm_ord)
         all_below = jnp.all(norms < self.tol)
         return conv, all_below, u_c

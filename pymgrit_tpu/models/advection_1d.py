@@ -33,10 +33,10 @@ class Advection1D(Application):
         # Eigenvalues of the circulant shift: A = fac*(I - P) with P the
         # down-shift permutation; eig(P)_k = exp(-2i pi k/n).
         k = np.arange(self.nx)
-        self._shift_eigs = jnp.asarray(np.exp(-2j * np.pi * k / self.nx))
+        self._shift_eigs = np.exp(-2j * np.pi * k / self.nx)
 
-        self.vector_template = jnp.zeros(self.nx)
-        self.vector_t_start = jnp.asarray(np.exp(-self.x ** 2))
+        self.vector_template = np.zeros(self.nx)
+        self.vector_t_start = np.exp(-self.x ** 2)
 
     def step(self, u_start, t_start, t_stop):
         dt = t_stop - t_start

@@ -53,16 +53,15 @@ class AllenCahn(Application):
         # Fourier eigenvalues of the periodic 1D stencil [1, -2, 1]/dx^2
         k = np.arange(nx)
         lam1d = (2.0 * np.cos(2.0 * np.pi * k / nx) - 2.0) / self.dx ** 2
-        self.lap_eigs = jnp.asarray(lam1d[:, None] + lam1d[None, :])  # (nx, nx)
+        self.lap_eigs = lam1d[:, None] + lam1d[None, :]  # (nx, nx)
 
         # State axis 0 may be sharded over the mesh 'space' axis (the FFT and
         # roll collectives ride ICI under GSPMD).
         self.space_sharding_axis = 0
 
-        self.vector_template = jnp.zeros((nx, nx))
+        self.vector_template = np.zeros((nx, nx))
         r2 = self.x[:, None] ** 2 + self.x[None, :] ** 2
-        self.vector_t_start = jnp.asarray(
-            np.tanh((radius - np.sqrt(r2)) / (np.sqrt(2) * eps)))
+        self.vector_t_start = np.tanh((radius - np.sqrt(r2)) / (np.sqrt(2) * eps))
 
     # ------------------------------------------------------------------
 

@@ -12,6 +12,7 @@ C-intervals simultaneously, with lane-masked adaptive stepping.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from pymgrit_tpu.core.application import Application
@@ -27,8 +28,8 @@ class ArenstorfOrbit(Application):
         self.b = 1 - self.a
         self.rtol = rtol
         self.atol = atol
-        self.vector_template = jnp.zeros(4)
-        self.vector_t_start = jnp.array([0.994, 0.0, 0.0, -2.00158510637908])
+        self.vector_template = np.zeros(4)
+        self.vector_t_start = np.array([0.994, 0.0, 0.0, -2.00158510637908])
 
     def _f(self, t, y):
         a, b = self.a, self.b

@@ -7,6 +7,7 @@ classic RK4 stepper.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from pymgrit_tpu.core.application import Application
@@ -20,8 +21,8 @@ class Brusselator(Application):
         super().__init__(*args, **kwargs)
         self.a = 1.0
         self.b = 3.0
-        self.vector_template = jnp.zeros(2)
-        self.vector_t_start = jnp.array([0.0, 1.0])
+        self.vector_template = np.zeros(2)
+        self.vector_t_start = np.array([0.0, 1.0])
 
     def _f(self, t, y):
         return jnp.array([

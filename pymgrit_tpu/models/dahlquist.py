@@ -8,6 +8,7 @@ batched relaxation sweeps reduce to pure VPU elementwise math.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from pymgrit_tpu.core.application import Application
@@ -25,8 +26,8 @@ class Dahlquist(Application):
             raise Exception(
                 'Unknown method. Choose BE (Backward Euler), FE (Forward Euler), TR (Trapezoidal rule) ' +
                 'or MR (implicit mid-point rule)')
-        self.vector_template = jnp.zeros(())
-        self.vector_t_start = jnp.ones(())
+        self.vector_template = np.zeros(())
+        self.vector_t_start = np.ones(())
 
     def step(self, u_start, t_start, t_stop):
         z = (t_stop - t_start) * self.lambda_value

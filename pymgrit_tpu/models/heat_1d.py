@@ -39,10 +39,10 @@ class Heat1D(Application):
 
         fac = self.a / self.dx ** 2
         self.S, self.lam = sine_eigenbasis(self.nx, fac)
-        self._x_j = jnp.asarray(self.x)
+        self._x_j = self.x
 
-        self.vector_template = jnp.zeros(self.nx)
-        self.vector_t_start = jnp.asarray(np.asarray(init_cond(self.x), dtype=np.float64))
+        self.vector_template = np.zeros(self.nx)
+        self.vector_t_start = np.asarray(init_cond(self.x), dtype=np.float64)
 
     def _rhs_at(self, t):
         """b(x, t) evaluated with jnp so traced t works.  User callables must

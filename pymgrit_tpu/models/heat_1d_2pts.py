@@ -26,7 +26,7 @@ from pymgrit_tpu.ops.dirichlet_spectral import (sine_eigenbasis, solve_shifted_1
 
 def PairState(first, second):
     """Two consecutive time values grouped as one state."""
-    return {"first": jnp.asarray(first), "second": jnp.asarray(second)}
+    return {"first": first, "second": second}
 
 
 class _HeatPairBase(Application):
@@ -44,7 +44,7 @@ class _HeatPairBase(Application):
         self.init_cond = init_cond
         fac = a / self.dx ** 2
         self.S, self.lam = sine_eigenbasis(self.nx, fac)
-        self._x_j = jnp.asarray(self.x)
+        self._x_j = self.x
         self.vector_template = PairState(np.zeros(self.nx), np.zeros(self.nx))
 
     def _rhs_at(self, t):
@@ -57,7 +57,7 @@ class Heat1DBDF1(_HeatPairBase):
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        tmp1 = jnp.asarray(np.asarray(self.init_cond(self.x), dtype=np.float64))
+        tmp1 = np.asarray(self.init_cond(self.x), dtype=np.float64)
         # One BDF1 step to get the value at t0 + dtau (bdf1.py:65-68)
         tmp2 = solve_shifted_1d(self.S, self.lam, self.dtau,
                                 tmp1 + self._rhs_at(self.t[0] + self.dtau) * self.dtau)
@@ -79,7 +79,7 @@ class Heat1DBDF2(_HeatPairBase):
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        tmp1 = jnp.asarray(np.asarray(self.init_cond(self.x), dtype=np.float64))
+        tmp1 = np.asarray(self.init_cond(self.x), dtype=np.float64)
         # Trapezoidal bootstrap for the second IC value (bdf2.py:65-69)
         dtau = self.dtau
         lap_tmp1 = self.S @ ((self.S @ tmp1) * self.lam)

@@ -66,10 +66,10 @@ class Heat2D(Application):
         # Edge conventions follow the reference exactly (heat_2d.py:243-248):
         # values[:, 0]=left(x), values[:, -1]=right(x), values[-1, :]=bottom(y),
         # values[0, :]=top(y).
-        self.bc_left_arr = jnp.asarray(_bc_arr(bc_left, self.x, 'bc_left'))
-        self.bc_right_arr = jnp.asarray(_bc_arr(bc_right, self.x, 'bc_right'))
-        self.bc_bottom_arr = jnp.asarray(_bc_arr(bc_bottom, self.y, 'bc_bottom'))
-        self.bc_top_arr = jnp.asarray(_bc_arr(bc_top, self.y, 'bc_top'))
+        self.bc_left_arr = _bc_arr(bc_left, self.x, 'bc_left')
+        self.bc_right_arr = _bc_arr(bc_right, self.x, 'bc_right')
+        self.bc_bottom_arr = _bc_arr(bc_bottom, self.y, 'bc_bottom')
+        self.bc_top_arr = _bc_arr(bc_top, self.y, 'bc_top')
 
         self.fx = a / self.dx ** 2
         self.fy = a / self.dy ** 2
@@ -77,19 +77,19 @@ class Heat2D(Application):
         self.Sx, self.lamx = sine_eigenbasis(nx - 2, self.fx)
         self.Sy, self.lamy = sine_eigenbasis(ny - 2, self.fy)
 
-        self._xi = jnp.asarray(self.x_2d[1:-1])       # (nx-2, 1)
-        self._yi = jnp.asarray(self.y_2d[:, 1:-1])    # (1, ny-2)
+        self._xi = self.x_2d[1:-1]       # (nx-2, 1)
+        self._yi = self.y_2d[:, 1:-1]    # (1, ny-2)
 
         # State axis 0 (x) may be sharded over the mesh 'space' axis.
         self.space_sharding_axis = 0
 
-        self.vector_template = jnp.zeros((nx, ny))
+        self.vector_template = np.zeros((nx, ny))
         init = np.asarray(init_cond(self.x_2d, self.y_2d), dtype=np.float64) * np.ones((nx, ny))
-        init[:, 0] = np.asarray(self.bc_left_arr)
-        init[:, -1] = np.asarray(self.bc_right_arr)
+        init[:, 0] = self.bc_left_arr
+        init[:, -1] = self.bc_right_arr
         init[-1, :] = np.asarray(self.bc_bottom_arr)
         init[0, :] = np.asarray(self.bc_top_arr)
-        self.vector_t_start = jnp.asarray(init)
+        self.vector_t_start = init
 
     # ------------------------------------------------------------------
 

@@ -1,0 +1,89 @@
+"""Machine-specific MGRIT solvers.
+
+Parity targets:
+* reference src/pymgrit/induction_machine/mgrit_machine.py:11-52 —
+  ``MgritMachine``: nested iteration runs with the sinusoidal voltage source
+  (PWM flag temporarily disabled) so the coarse initialization is smooth.
+* reference src/pymgrit/induction_machine/mgrit_machine_conv_jl.py:14-147 —
+  ``MgritMachineConvJl``: joule-loss relative-change convergence criterion
+  (98-118) and optional F-relaxation post-processing after convergence
+  (119-147).
+
+The reference's ``f_exchange``/``c_exchange`` calls are stale against its
+own core API (SURVEY.md §2.2 note) and are not replicated.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+
+from pymgrit_tpu.core.solver import Mgrit
+
+
+class MgritMachine(Mgrit):
+    """MGRIT with sin-source nested iteration for PWM machine problems
+    (reference mgrit_machine.py:22-52: fopt[-1] = 0 during nested iteration,
+    restored afterwards)."""
+
+    def _run_nested_iteration(self):
+        change = False
+        tmp_pwm = np.zeros(len(self.problem))
+        if getattr(self.problem[0], 'pwm', 0):
+            change = True
+            for lvl in range(len(self.problem)):
+                tmp_pwm[lvl] = self.problem[lvl].pwm
+                self.problem[lvl].fopt[-1] = 0
+        state = self._jit_nested(self._get_state())
+        self._set_state(state)
+        if change:
+            for lvl in range(len(self.problem)):
+                self.problem[lvl].fopt[-1] = tmp_pwm[lvl]
+
+
+class MgritMachineConvJl(Mgrit):
+    """MGRIT with joule-loss convergence criterion and optional final
+    F-relaxation post-processing."""
+
+    def __init__(self, compute_f_after_convergence: bool = True, *args, **kwargs):
+        self.compute_f_after_convergence = compute_f_after_convergence
+        self.last_it = np.array([])
+        super().__init__(*args, **kwargs)
+        self.last_it = np.zeros(len(self.levels[0].cpts))
+        self.convergence_criterion(0)
+
+    def convergence_criterion(self, iteration: int) -> None:
+        """Relative change of the joule losses at C-points in percent
+        (reference mgrit_machine_conv_jl.py:98-118)."""
+        cpts = self.levels[0].cpts
+        if len(self.last_it) != len(cpts):
+            self.last_it = np.zeros(len(cpts))
+        # scalars leaf ordering: [jl, ia, ib, ic, ua, ub, uc, tr]
+        new = np.asarray(self.u[0]["scalars"])[cpts, 0]
+        tmp = 100 * np.max(
+            np.abs(np.abs(np.divide((new - self.last_it), new,
+                                    out=np.zeros_like(self.last_it),
+                                    where=new != 0))))
+        self.conv[iteration] = tmp
+        self._all_below = bool(tmp < self.tol)
+        self.last_it = np.copy(new)
+
+    def solve(self) -> dict:
+        """Solve, then optionally recompute all F-points once (reference
+        mgrit_machine_conv_jl.py:119-147)."""
+        tmp_output_fcn = self.output_fcn
+        self.output_fcn = None
+        super().solve()
+        self.output_fcn = tmp_output_fcn
+        if self.compute_f_after_convergence:
+            logging.info("Start post-processing: F-relax")
+            runtime_pp_start = time.time()
+            self.u[0] = self._f_relax(0, self.u[0], self.g[0])
+            logging.info(f"Post-processing took {time.time() - runtime_pp_start} s")
+        self.last_it = np.zeros_like(self.last_it)
+        if self.output_fcn is not None:
+            self.output_fcn(self)
+        return {'conv': self.conv[np.where(self.conv != 0)],
+                'time_setup': self.runtime_setup, 'time_solve': self.runtime_solve}

@@ -27,7 +27,9 @@ def sine_eigenbasis(n: int, fac: float):
     j = np.arange(1, n + 1)
     S = np.sqrt(2.0 / (n + 1)) * np.sin(np.outer(j, j) * np.pi / (n + 1))
     lam = fac * (2.0 - 2.0 * np.cos(j * np.pi / (n + 1)))
-    return jnp.asarray(S), jnp.asarray(lam)
+    # numpy outputs: stored as model constants, folded in at trace time
+    # (eager jnp construction would round-trip the remote TPU relay).
+    return S, lam
 
 
 def solve_shifted_1d(S, lam, shift_scale, b):
