@@ -549,6 +549,72 @@ class Mgrit:
                 'time_solve': self.runtime_solve}
 
     # ------------------------------------------------------------------
+    # fully-compiled driver: the whole iteration loop runs on device as a
+    # lax.while_loop with the convergence check inline — zero host syncs
+    # until the final history fetch.  TPU-first feature with no reference
+    # analogue (the reference must return to Python for MPI collectives
+    # every iteration).
+    # ------------------------------------------------------------------
+
+    def _solve_compiled_fn(self, state, u_save):
+        max_iter = self.iter_max
+        use_jump = self.conv_crit in (1, 3)
+
+        def cond(carry):
+            it, hist, state, u_save, done = carry
+            return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+
+        def body(carry):
+            it, hist, state, u_save, _ = carry
+            state = jax.lax.cond(it == 0,
+                                 lambda s: self._iteration_fn(s, lvl0_first_f=True),
+                                 lambda s: self._iteration_fn(s, lvl0_first_f=False),
+                                 state)
+            if use_jump:
+                conv, all_below, u_save = self._jump_conv_fn(state, u_save)
+            else:
+                conv, all_below = self._residual_conv_fn(state)
+            hist = hist.at[it].set(conv)
+            done = jnp.where(self.global_conv_crit, conv < self.tol, all_below)
+            return (it + 1, hist, state, u_save, done)
+
+        hist0 = jnp.zeros(max_iter, dtype=jnp.result_type(0.0))
+        carry = (jnp.array(0), hist0, state, u_save, jnp.array(False))
+        it, hist, state, u_save, done = jax.lax.while_loop(cond, body, carry)
+        return it, hist, state, u_save
+
+    def solve_compiled(self) -> dict:
+        """Solve with the entire iteration loop jitted on device."""
+        self.log_info("Start solve (compiled loop)")
+        if not hasattr(self, "_jit_solve_loop"):
+            self._jit_solve_loop = jax.jit(self._solve_compiled_fn)
+        u_save = self.save_values_last_iter
+        if u_save is None:
+            # dummy placeholder with the right structure for the carry
+            u_save = vector.take(self.u[0], jnp.asarray(self.levels[0].cpts)) \
+                if self.lvl_max > 1 else self.u[0]
+        runtime_solve_start = time.time()
+        it, hist, state, u_save_out = self._jit_solve_loop(self._get_state(), u_save)
+        it = int(it)
+        hist = np.asarray(hist)
+        self._set_state(state)
+        if self.conv_crit in (1, 3):
+            self.save_values_last_iter = u_save_out
+        self.conv = np.zeros(self.iter_max + 1)
+        self.conv[1:it + 1] = hist[:it]
+        self.solve_iter = it
+        self.runtime_solve = time.time() - runtime_solve_start
+        for k in range(it):
+            self.log_info('{0: <7}'.format(f"iter {k + 1}") +
+                          '{0: <32}'.format(f" | conv: {hist[k]}"))
+        self.log_info(f"Solve took {self.runtime_solve} s")
+        if self.output_fcn is not None and self.output_lvl in (1, 2):
+            self.output_fcn(self)
+        self.ouput_run_information()
+        return {'conv': self.conv[np.where(self.conv != 0)], 'time_setup': self.runtime_setup,
+                'time_solve': self.runtime_solve}
+
+    # ------------------------------------------------------------------
     # reporting (reference ouput_run_information [sic], mgrit.py:568-588)
     # ------------------------------------------------------------------
 
