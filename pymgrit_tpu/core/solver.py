@@ -228,6 +228,12 @@ class Mgrit:
     # ------------------------------------------------------------------
 
     def _vstep(self, lvl):
+        """Batched stepper: an application may provide step_batched(u_tube,
+        t_starts, t_stops) — e.g. a Pallas kernel fusing the whole batched
+        implicit solve — otherwise vmap the scalar step."""
+        batched = getattr(self.problem[lvl], "step_batched", None)
+        if batched is not None:
+            return batched
         return jax.vmap(self.step_fns[lvl], in_axes=(0, 0, 0))
 
     def _pad_tube(self, tube, lvl):
@@ -613,6 +619,73 @@ class Mgrit:
         self.ouput_run_information()
         return {'conv': self.conv[np.where(self.conv != 0)], 'time_setup': self.runtime_setup,
                 'time_solve': self.runtime_solve}
+
+    # ------------------------------------------------------------------
+    # observability: per-phase timings + profiler traces.  The reference
+    # logs per-phase wall times at logging_lvl=10 inside its loops
+    # (mgrit.py:301,333,344,370,...); under jit the phases fuse, so the
+    # TPU-native equivalent times each phase as its own jitted program and
+    # exposes a jax.profiler trace hook for the fused solve.
+    # ------------------------------------------------------------------
+
+    def profile_phases(self, repeats: int = 5) -> dict:
+        """Time each solver phase per level (separately jitted); returns
+        {phase_name: seconds} and logs at debug level."""
+        results = {}
+        state = self._get_state()
+        u, v, g = state
+
+        def _time(tag, fn, *args):
+            out = fn(*args)
+            jax.block_until_ready(out)
+            t0 = time.time()
+            for _ in range(repeats):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            results[tag] = (time.time() - t0) / repeats
+            logging.debug(f"{tag}: {results[tag]:.6f} s")
+            return out
+
+        for lvl in range(self.lvl_max - 1):
+            _time(f"f_relax[{lvl}]", jax.jit(lambda uu, lvl=lvl: self._f_relax(lvl, uu, g[lvl])), u[lvl])
+            _time(f"c_relax[{lvl}]", jax.jit(lambda uu, lvl=lvl: self._c_relax(lvl, uu, g[lvl])), u[lvl])
+            _time(f"fas_residual[{lvl}]",
+                  jax.jit(lambda uu, lvl=lvl: self._fas_residual(lvl, uu, g[lvl], u[lvl + 1], g[lvl + 1])),
+                  u[lvl])
+        lvl = self.lvl_max - 1
+        _time(f"forward_solve[{lvl}]", jax.jit(lambda uu: self._forward_solve(lvl, uu, g[lvl])), u[lvl])
+        _time("convergence", self._jit_residual_conv, state)
+        _time("full_iteration", self._jit_iter_rest, state)
+        return results
+
+    def solve_profiled(self, trace_dir: str) -> dict:
+        """Run solve() under a jax.profiler trace (view with TensorBoard or
+        xprof)."""
+        with jax.profiler.trace(trace_dir):
+            return self.solve()
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume.  The reference has no built-in mechanism (its
+    # examples np.save from output_fcn, SURVEY.md §5); here solver state is
+    # a pytree of arrays, so checkpointing is one savez.
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        """Save all level tubes + convergence history to an .npz file."""
+        flat, treedef = jax.tree_util.tree_flatten(self._get_state())
+        arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)}
+        arrays["conv"] = self.conv
+        arrays["solve_iter"] = np.asarray(self.solve_iter)
+        np.savez(path, **arrays)
+
+    def load_checkpoint(self, path: str) -> None:
+        """Restore solver state saved by save_checkpoint."""
+        data = np.load(path)
+        flat, treedef = jax.tree_util.tree_flatten(self._get_state())
+        new_flat = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(flat))]
+        self._set_state(jax.tree_util.tree_unflatten(treedef, new_flat))
+        self.conv = data["conv"]
+        self.solve_iter = int(data["solve_iter"])
 
     # ------------------------------------------------------------------
     # reporting (reference ouput_run_information [sic], mgrit.py:568-588)

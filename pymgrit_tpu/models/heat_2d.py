@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Callable, Union
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from pymgrit_tpu.core.application import Application
@@ -34,8 +35,15 @@ class Heat2D(Application):
                  bc_left: Union[int, float, Callable] = 0,
                  bc_right: Union[int, float, Callable] = 0,
                  bc_bottom: Union[int, float, Callable] = 0,
-                 bc_top: Union[int, float, Callable] = 0, *args, **kwargs):
+                 bc_top: Union[int, float, Callable] = 0,
+                 use_pallas: bool = False, *args, **kwargs):
         super().__init__(*args, **kwargs)
+        # Opt-in fused Pallas kernel for the batched implicit solve (the
+        # solver picks up step_batched when defined); requires jnp-
+        # broadcastable rhs callables.  XLA's own fusion is competitive at
+        # small n, so the default stays off.
+        if use_pallas:
+            self.step_batched = self._step_batched_pallas
         self.x = np.linspace(x_start, x_end, nx)
         self.y = np.linspace(y_start, y_end, ny)
         self.x_2d = self.x[:, np.newaxis]
@@ -152,3 +160,37 @@ class Heat2D(Application):
         new_int = self._solve_interior(shift, b_int)
         new = self._set_bc(jnp.zeros_like(u_start).at[1:-1, 1:-1].set(new_int))
         return new
+
+    def _step_batched_pallas(self, us, t0s, t1s):
+        """Batched theta-method step with the fused Pallas spectral solve
+        (ops/pallas_spectral.py); falls back to vmap for FE."""
+        from pymgrit_tpu.ops.pallas_spectral import batched_sine_solve_2d
+
+        if self.theta == 0.0:
+            return jax.vmap(self.step)(us, t0s, t1s)
+        dts = (t1s - t0s)[:, None, None]
+        t1b = t1s[:, None, None]
+        t0b = t0s[:, None, None]
+        if self.theta == 1.0:
+            b = jnp.zeros_like(us)
+            b = b.at[:, 1:-1, 1:-1].set(us[:, 1:-1, 1:-1] +
+                                        dts * self.rhs(x=self._xi, y=self._yi, t=t1b))
+        else:
+            b = us - self.theta * dts * jax.vmap(self._apply_L)(us)
+            b = b.at[:, 1:-1, 1:-1].add(
+                self.theta * dts * self.rhs(x=self._xi, y=self._yi, t=t1b)
+                + (1 - self.theta) * dts * self.rhs(x=self._xi, y=self._yi, t=t0b))
+        b = jax.vmap(self._set_bc)(b)
+
+        shift = self.theta * (t1s - t0s)
+        sb = shift[:, None]
+        b_int = b[:, 1:-1, 1:-1]
+        b_int = b_int.at[:, :, 0].add(sb * self.fy * b[:, 1:-1, 0])
+        b_int = b_int.at[:, :, -1].add(sb * self.fy * b[:, 1:-1, -1])
+        b_int = b_int.at[:, 0, :].add(sb * self.fx * b[:, 0, 1:-1])
+        b_int = b_int.at[:, -1, :].add(sb * self.fx * b[:, -1, 1:-1])
+        new_int = batched_sine_solve_2d(b_int, shift, jnp.asarray(self.Sx),
+                                        jnp.asarray(self.Sy), jnp.asarray(self.lamx),
+                                        jnp.asarray(self.lamy))
+        new = jnp.zeros_like(us).at[:, 1:-1, 1:-1].set(new_int)
+        return jax.vmap(self._set_bc)(new)
