@@ -70,6 +70,8 @@ class LevelInfo:
     chains: Optional[FChains]     # None on the coarsest level
     c_chains: Optional[CChains]   # None on the coarsest level
     fpts: Optional[np.ndarray]    # (nf,) indices of F-points
+    uniform: bool = False         # cpts == arange(0, nt, m) and nt-1 == (nc-1)*m:
+                                  # enables the scatter-free strided/reshape path
 
 
 def classify_points(t_fine: np.ndarray, t_coarse: np.ndarray) -> np.ndarray:
@@ -180,14 +182,19 @@ def build_level_infos(t_grids: List[np.ndarray]) -> List[LevelInfo]:
             c_chains = build_c_chains(t, cpts)
             all_idx = np.arange(nt)
             fpts = np.setdiff1d(all_idx, cpts)
+            uniform = bool(m > 1 and len(cpts) > 1 and
+                           np.array_equal(cpts, np.arange(0, nt, m)) and
+                           nt - 1 == (len(cpts) - 1) * m)
         else:
             cpts = np.arange(nt)
             m = 1
             chains = None
             c_chains = None
             fpts = np.array([], dtype=np.int64)
+            uniform = False
         infos.append(LevelInfo(lvl=lvl, t=t, nt=nt, cpts=cpts, m=m,
-                               chains=chains, c_chains=c_chains, fpts=fpts))
+                               chains=chains, c_chains=c_chains, fpts=fpts,
+                               uniform=uniform))
     return infos
 
 

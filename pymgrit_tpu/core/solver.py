@@ -245,6 +245,86 @@ class Mgrit:
             lambda x: jnp.concatenate(
                 [x, jnp.zeros((store - nt,) + x.shape[1:], x.dtype)]), tube)
 
+    # -- scatter-free helpers for uniform levels: view u as interval blocks
+    #    via reshape (u[1:] -> (J, m)); strided slices replace gathers and
+    #    reshape reassembly replaces scatters.  Exact same math; far
+    #    friendlier to XLA/TPU (no scatter ops) and to GSPMD sharding. --
+
+    def _split_blocks(self, u, lvl):
+        """(u0, blocks) with blocks leaf shape (J, m, ...)."""
+        info = self.levels[lvl]
+        nt, m = info.nt, info.m
+        J = (nt - 1) // m
+        u0 = jax.tree_util.tree_map(lambda x: x[0:1], u)
+        blocks = jax.tree_util.tree_map(
+            lambda x: x[1:nt].reshape((J, m) + x.shape[1:]), u)
+        return u0, blocks
+
+    def _join_blocks(self, u0, blocks, lvl):
+        joined = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate(
+                [a, b.reshape((-1,) + b.shape[2:])], axis=0), u0, blocks)
+        return self._pad_tube(joined, lvl)
+
+    def _f_relax_uniform(self, lvl, u, g):
+        """F-relax via scan over the m-1 intra-interval positions with a
+        (J, ...) batch; writes by reshape, no scatter."""
+        info = self.levels[lvl]
+        nt, m = info.nt, info.m
+        J = (nt - 1) // m
+        t = info.t
+        # seeds: owning C-points u[0, m, 2m, ...] for each interval
+        x = jax.tree_util.tree_map(lambda a: a[0:nt - 1:m], u)
+        t_prev = jnp.asarray(np.stack([t[j * m:j * m + m - 1] for j in range(J)], 1))  # (m-1, J)
+        t_curr = jnp.asarray(np.stack([t[j * m + 1:j * m + m] for j in range(J)], 1))
+        vstep = self._vstep(lvl)
+
+        if lvl == 0:
+            def body(carry, inp):
+                tp, tc = inp
+                stepped = vstep(carry, tp, tc)
+                return stepped, stepped
+
+            _, ys = jax.lax.scan(body, x, (t_prev, t_curr))
+        else:
+            _, g_blocks = self._split_blocks(g, lvl)  # (J, m, ...)
+            g_f = jax.tree_util.tree_map(lambda a: jnp.moveaxis(a[:, :m - 1], 1, 0),
+                                         g_blocks)   # (m-1, J, ...)
+
+            def body(carry, inp):
+                tp, tc, gi = inp
+                stepped = vector.add(gi, vstep(carry, tp, tc))
+                return stepped, stepped
+
+            _, ys = jax.lax.scan(body, x, (t_prev, t_curr, g_f))
+
+        u0, blocks = self._split_blocks(u, lvl)
+        new_blocks = jax.tree_util.tree_map(
+            lambda b, y: jnp.concatenate([jnp.moveaxis(y, 0, 1), b[:, m - 1:m]], axis=1),
+            blocks, ys)
+        return self._join_blocks(u0, new_blocks, lvl)
+
+    def _c_relax_uniform(self, lvl, u, g):
+        info = self.levels[lvl]
+        nt, m = info.nt, info.m
+        t = jnp.asarray(info.t)
+        prev = jax.tree_util.tree_map(lambda a: a[m - 1:nt:m], u)   # u[cm-1]
+        tp = t[m - 1:nt:m]
+        tc = t[m:nt:m]
+        stepped = self._vstep(lvl)(prev, tp, tc)
+        if lvl > 0:
+            g_c = jax.tree_util.tree_map(lambda a: a[m:nt:m], g)
+            stepped = vector.add(g_c, stepped)
+        if self.weight_c != 1.0:
+            u_c = jax.tree_util.tree_map(lambda a: a[m:nt:m], u)
+            stepped = vector.add(vector.scale(stepped, self.weight_c),
+                                 vector.scale(u_c, 1.0 - self.weight_c))
+        u0, blocks = self._split_blocks(u, lvl)
+        new_blocks = jax.tree_util.tree_map(
+            lambda b, c: jnp.concatenate([b[:, :m - 1], c[:, None]], axis=1),
+            blocks, stepped)
+        return self._join_blocks(u0, new_blocks, lvl)
+
     def _f_relax(self, lvl, u, g):
         """All F-intervals relax simultaneously (reference f_relax,
         mgrit.py:292-333: sequential within an interval, batched across)."""
@@ -252,6 +332,8 @@ class Mgrit:
         ch = info.chains
         if ch is None or ch.seed.size == 0 or ch.lmax == 0:
             return u
+        if info.uniform:
+            return self._f_relax_uniform(lvl, u, g)
         nt = info.nt
         x = vector.take(u, ch.seed)  # (J, ...) seeds: owning C-point states
         # Scan inputs laid out (Lmax, J)
@@ -292,6 +374,8 @@ class Mgrit:
         cc = info.c_chains
         if cc is None or cc.c_idx.size == 0:
             return u
+        if info.uniform:
+            return self._c_relax_uniform(lvl, u, g)
         w = self.weight_c
 
         if cc.rmax == 1:
@@ -369,12 +453,35 @@ class Mgrit:
         (reference fas_residual, mgrit.py:488-549)."""
         info = self.levels[lvl]
         info_c = self.levels[lvl + 1]
-        cpts = jnp.asarray(info.cpts)
         nc = info.cpts.size
+        nt, m = info.nt, info.m
         t_f = jnp.asarray(info.t)
         t_c = jnp.asarray(info_c.t)
         vrestrict = jax.vmap(self.restrict_fns[lvl])
 
+        if info.uniform:
+            # strided slices instead of gathers; concat instead of scatter
+            u_at_c = jax.tree_util.tree_map(lambda a: a[0:nt:m], u_f)
+            u_c = self._pad_tube(vrestrict(u_at_c), lvl + 1)
+            v_c = jax.tree_util.tree_map(lambda x: x, u_c)
+            prev = jax.tree_util.tree_map(lambda a: a[m - 1:nt:m], u_f)
+            stepped_f = self._vstep(lvl)(prev, t_f[m - 1:nt:m], t_f[m:nt:m])
+            u_ci = jax.tree_util.tree_map(lambda a: a[m:nt:m], u_f)
+            if lvl == 0:
+                inner = vector.sub(stepped_f, u_ci)
+            else:
+                g_ci = jax.tree_util.tree_map(lambda a: a[m:nt:m], g_f)
+                inner = vector.add(vector.sub(g_ci, u_ci), stepped_f)
+            r = vrestrict(inner)
+            v_prev = jax.tree_util.tree_map(lambda a: a[:nc - 1], v_c)
+            stepped_c = self._vstep(lvl + 1)(v_prev, t_c[:-1], t_c[1:])
+            v_tail = jax.tree_util.tree_map(lambda a: a[1:nc], v_c)
+            g_tail = vector.add(r, vector.sub(v_tail, stepped_c))
+            g_head = jax.tree_util.tree_map(lambda a: a[0:1], g_c_old)
+            g_c = self._pad_tube(vector.concat([g_head, g_tail]), lvl + 1)
+            return u_c, v_c, g_c
+
+        cpts = jnp.asarray(info.cpts)
         u_c = self._pad_tube(vrestrict(vector.take(u_f, cpts)), lvl + 1)
         v_c = jax.tree_util.tree_map(lambda x: x, u_c)  # FAS saved iterate (mgrit.py:520)
 
@@ -403,6 +510,14 @@ class Mgrit:
         vinterp = jax.vmap(self.interp_fns[lvl])
         err = vinterp(vector.sub(vector.take(u_c, jnp.arange(1, nc)),
                                  vector.take(v_c, jnp.arange(1, nc))))
+        if info.uniform:
+            nt, m = info.nt, info.m
+            c_new = vector.add(jax.tree_util.tree_map(lambda a: a[m:nt:m], u_f), err)
+            u0, blocks = self._split_blocks(u_f, lvl)
+            new_blocks = jax.tree_util.tree_map(
+                lambda b, c: jnp.concatenate([b[:, :m - 1], c[:, None]], axis=1),
+                blocks, c_new)
+            return self._join_blocks(u0, new_blocks, lvl)
         return vector.add_at(u_f, jnp.asarray(info.cpts[1:]), err)
 
     # ------------------------------------------------------------------
@@ -466,9 +581,15 @@ class Mgrit:
 
     def _point_residual_norms(self, u0):
         info = self.levels[0]
+        t = jnp.asarray(info.t)
+        if info.uniform:
+            nt, m = info.nt, info.m
+            prev = jax.tree_util.tree_map(lambda a: a[m - 1:nt:m], u0)
+            stepped = self._vstep(0)(prev, t[m - 1:nt:m], t[m:nt:m])
+            r = vector.sub(stepped, jax.tree_util.tree_map(lambda a: a[m:nt:m], u0))
+            return jax.vmap(self.state_norm)(r)
         cpts = info.cpts if self.lvl_max > 1 else np.arange(info.nt)
         ci = jnp.asarray(cpts[1:])
-        t = jnp.asarray(info.t)
         prev = vector.take(u0, ci - 1)
         stepped = self._vstep(0)(prev, t[ci - 1], t[ci])
         r = vector.sub(stepped, vector.take(u0, ci))

@@ -24,7 +24,7 @@ def test_dahlquist_mesh_invariance():
         mesh = make_time_space_mesh(n_time=n_time, n_space=1)
         conv = _dahlquist_conv(mesh)
         assert len(conv) == len(base)
-        np.testing.assert_allclose(conv, base, rtol=1e-8)
+        np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15)
 
 
 def test_heat2d_time_space_mesh():
@@ -47,7 +47,7 @@ def test_heat2d_time_space_mesh():
     conv = Mgrit(problem=build(), logging_lvl=30, max_iter=3, tol=1e-12,
                  mesh=mesh).solve()['conv']
     assert len(conv) == len(base)
-    np.testing.assert_allclose(conv, base, rtol=1e-8)
+    np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15)
 
 
 def test_heat1d_fcycle_mesh_invariance():
@@ -66,7 +66,7 @@ def test_heat1d_fcycle_mesh_invariance():
     base = Mgrit(problem=build(), **kw).solve()['conv']
     mesh = make_time_space_mesh(n_time=8, n_space=1)
     conv = Mgrit(problem=build(), mesh=mesh, **kw).solve()['conv']
-    np.testing.assert_allclose(conv, base, rtol=1e-8)
+    np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15)
 
 
 def test_mesh_too_big_raises():
