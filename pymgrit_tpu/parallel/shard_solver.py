@@ -1,0 +1,545 @@
+"""Explicit shard_map MGRIT executor: ppermute halos, zero resharding.
+
+The GSPMD path (mesh= on Mgrit) is correct everywhere but lets XLA infer
+collectives for the solver's global-view indexing, which costs resharding
+all-gathers.  This executor instead fixes the layout so every phase is
+shard-local except one neighbor exchange:
+
+* Level state is *interval-major*: ``blocks`` with leaf shape (J, m, ...)
+  — block j = [C-point j*m, its m-1 F-points] — plus ``last`` (the final
+  C-point).  J is sharded over the mesh 'time' axis.
+* F-relaxation is fully local (each interval propagates from its own
+  C-point).
+* C-relaxation / FAS / residual need exactly one halo: the previous
+  interval's last F-point, a shift-by-one realized as an intra-shard roll
+  plus a single ``ppermute`` of one state per shard — the TPU-native form
+  of the reference's op_id 2/3/7 messages (reference mgrit.py:347-352,
+  503-508, 398-403).
+* The coarse grid's blocks are a reshape of the fine C-points: restriction
+  and interpolation are local.
+* The coarsest-level sequential solve is redundantly computed on every
+  shard after one ``all_gather`` (tiny), replacing the reference's
+  sequential rank chain (mgrit.py:459-486).
+* Residual norms reduce with ``psum``/``pmax``.
+
+Constraints (round 1): uniform coarsening, global convergence criteria,
+J divisible by n_time * (product of coarser m's) per level.  The general
+Mgrit handles everything else.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from pymgrit_tpu.core import vector
+from pymgrit_tpu.core.levels import build_level_infos, validate_hierarchy
+
+
+class ShardedMgrit:
+    """MGRIT over a 1-D 'time' mesh with explicit halo collectives."""
+
+    def __init__(self, problem: List, mesh: Mesh, tol: float = 1e-7,
+                 max_iter: int = 100, nested_iteration: bool = True,
+                 cf_iter=1, cycle_type: str = 'V', weight_c: float = 1.0,
+                 t_norm: int = 2, logging_lvl: int = logging.INFO):
+        validate_hierarchy([p.t for p in problem])
+        self.problem = problem
+        self.mesh = mesh
+        self.n_shards = mesh.shape["time"]
+        self.tol = tol
+        self.iter_max = max_iter
+        self.cycle_type = cycle_type
+        self.weight_c = weight_c
+        self.t_norm = t_norm
+        self.lvl_max = len(problem)
+        self.cf_iter = [cf_iter] * self.lvl_max if isinstance(cf_iter, int) else list(cf_iter)
+        self.levels = build_level_infos([p.t for p in problem])
+        self.conv = np.zeros(max_iter + 1)
+        self.runtime_setup = 0.0
+        self.runtime_solve = 0.0
+
+        for lvl in range(self.lvl_max - 1):
+            li = self.levels[lvl]
+            if not li.uniform:
+                raise Exception("ShardedMgrit requires uniform coarsening on every level")
+            J = (li.nt - 1) // li.m
+            if J % self.n_shards != 0:
+                raise Exception(
+                    f"level {lvl}: interval count {J} must divide evenly over "
+                    f"{self.n_shards} shards (pad nt)")
+            m_next = self.levels[lvl + 1].m if lvl + 1 < self.lvl_max - 1 else 1
+            if m_next and (J // self.n_shards) % max(m_next, 1) != 0:
+                raise Exception(
+                    f"level {lvl}: local interval count {J // self.n_shards} must "
+                    f"divide by the next level's coarsening factor {m_next}")
+        if (self.levels[-1].nt - 1) % self.n_shards != 0:
+            raise Exception("coarsest level point count must divide over shards")
+        self.step_fns = [p.step for p in problem]
+        self.state_norm = getattr(problem[0], "state_norm", vector.norm)
+
+        t0 = time.time()
+        self._build_state(nested_iteration)
+        self.runtime_setup = time.time() - t0
+
+    # ------------------------------------------------------------------
+    # layout helpers
+    # ------------------------------------------------------------------
+
+    def _blockify(self, tube, lvl):
+        """(nt, ...) -> (blocks (J, m, ...), last)."""
+        li = self.levels[lvl]
+        m = li.m if lvl < self.lvl_max - 1 else 1
+        J = (li.nt - 1) // m
+        blocks = jax.tree_util.tree_map(
+            lambda x: x[:li.nt - 1].reshape((J, m) + x.shape[1:]), tube)
+        last = jax.tree_util.tree_map(lambda x: x[li.nt - 1], tube)
+        return blocks, last
+
+    def _unblockify(self, blocks, last):
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), blocks)
+        return jax.tree_util.tree_map(
+            lambda f, l: jnp.concatenate([f, l[None]], axis=0), flat, last)
+
+    def _level_times(self, lvl):
+        li = self.levels[lvl]
+        m = li.m if lvl < self.lvl_max - 1 else 1
+        J = (li.nt - 1) // m
+        t_blocks = li.t[:li.nt - 1].reshape(J, m)
+        return jnp.asarray(t_blocks), jnp.asarray(li.t[li.nt - 1])
+
+    def _build_state(self, nested):
+        state = {}
+        for lvl in range(self.lvl_max):
+            p = self.problem[lvl]
+            template = vector.as_f64(p.vector_template)
+            tube = vector.tube_of(template, self.levels[lvl].nt)
+            tube = vector.set_at(tube, np.array([0]),
+                                 jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None],
+                                                        vector.as_f64(p.vector_t_start)))
+            blocks, last = self._blockify(tube, lvl)
+            entry = {"blocks": blocks, "last": last}
+            if lvl > 0:
+                entry["g_blocks"] = vector.zeros_like(blocks)
+                entry["g_last"] = vector.zeros_like(last)
+                entry["v_blocks"] = vector.zeros_like(blocks)
+                entry["v_last"] = vector.zeros_like(last)
+            state[lvl] = entry
+
+        # shard: blocks leaves on axis 0 over 'time'; last/g_last replicated
+        def shard_entry(entry):
+            out = {}
+            for k, v in entry.items():
+                spec = (P("time"),) if "blocks" in k else (P(),)
+                out[k] = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, NamedSharding(
+                        self.mesh, P(*(spec[0] if "blocks" in k else ()),
+                                     *([None] * (x.ndim - (1 if "blocks" in k else 0)))))),
+                    v)
+            return out
+
+        self.state = {lvl: shard_entry(e) for lvl, e in state.items()}
+        self._specs = self._state_specs()
+        self._jit_iter = jax.jit(self._iteration_sm, static_argnames=("first",))
+        self._jit_conv = jax.jit(self._conv_sm)
+        self._jit_nested = jax.jit(self._nested_sm)
+        if nested:
+            self.state = self._jit_nested(self.state)
+
+    def _state_specs(self):
+        specs = {}
+        for lvl, entry in self.state.items():
+            sp = {}
+            for k, v in entry.items():
+                if "blocks" in k:
+                    sp[k] = jax.tree_util.tree_map(
+                        lambda x: P("time", *([None] * (x.ndim - 1))), v)
+                else:
+                    sp[k] = jax.tree_util.tree_map(lambda x: P(), v)
+            specs[lvl] = sp
+        return specs
+
+    # ------------------------------------------------------------------
+    # shard-local phases (run inside shard_map; blocks leaves are the
+    # local (J_loc, m, ...) slabs)
+    # ------------------------------------------------------------------
+
+    def _vstep(self, lvl):
+        return jax.vmap(self.step_fns[lvl], in_axes=(0, 0, 0))
+
+    def _halo_prev_f(self, blocks, lvl):
+        """For each local block j: the previous block's last entry; the first
+        block's value arrives from the left neighbor via ppermute."""
+        lastf = jax.tree_util.tree_map(lambda x: x[:, -1], blocks)   # (J_loc, ...)
+        shifted = jax.tree_util.tree_map(
+            lambda x: jnp.roll(x, 1, axis=0), lastf)
+        perm = [(i, i + 1) for i in range(self.n_shards - 1)]
+        from_left = jax.tree_util.tree_map(
+            lambda x: jax.lax.ppermute(x[-1:], "time", perm), lastf)
+        return jax.tree_util.tree_map(
+            lambda s, fl: s.at[0:1].set(fl), shifted, from_left)
+
+    def _is_first_shard(self):
+        return jax.lax.axis_index("time") == 0
+
+    def _f_relax_sm(self, lvl, u):
+        """Local: scan each block from its own C-point."""
+        li = self.levels[lvl]
+        m = li.m
+        t_blocks, _ = self._level_times(lvl)
+        Jl = None  # inferred from leaves
+        vstep = self._vstep(lvl)
+        blocks = u["blocks"]
+        # local t slab: use axis_index to slice the global (J, m) times
+        idx = jax.lax.axis_index("time")
+        J = t_blocks.shape[0]
+        Jloc = J // self.n_shards
+        t_loc = jax.lax.dynamic_slice_in_dim(t_blocks, idx * Jloc, Jloc, 0)  # (Jloc, m)
+        t_last, _ = self._level_times(lvl)
+
+        x = jax.tree_util.tree_map(lambda b: b[:, 0], blocks)
+
+        # step s propagates from position s to s+1 within each block
+        if lvl == 0:
+            def body(carry, s):
+                stepped = vstep(carry, t_loc[:, s], t_loc[:, s + 1])
+                return stepped, stepped
+
+            _, ys = jax.lax.scan(body, x, jnp.arange(m - 1))
+        else:
+            g_blocks = u["g_blocks"]
+
+            def body_g(carry, s):
+                stepped = vstep(carry, t_loc[:, s], t_loc[:, s + 1])
+                gi = jax.tree_util.tree_map(
+                    lambda g: jnp.take(g, s + 1, axis=1), g_blocks)
+                stepped = vector.add(gi, stepped)
+                return stepped, stepped
+
+            _, ys = jax.lax.scan(body_g, x, jnp.arange(m - 1))
+
+        new_blocks = jax.tree_util.tree_map(
+            lambda b, y: jnp.concatenate([b[:, 0:1], jnp.moveaxis(y, 0, 1)], axis=1),
+            blocks, ys)
+        return {**u, "blocks": new_blocks}
+
+    def _block_c_times(self, lvl):
+        """(J,) times of each block's C-point and of the preceding F-point."""
+        li = self.levels[lvl]
+        m = li.m
+        J = (li.nt - 1) // m
+        t = li.t
+        tc = jnp.asarray(t[np.arange(J) * m])            # C time of block j
+        tprev = jnp.asarray(t[np.arange(1, J + 1) * m - 1])  # last F of block j
+        return tc, tprev
+
+    def _local_slice(self, arr, Jloc):
+        idx = jax.lax.axis_index("time")
+        return jax.lax.dynamic_slice_in_dim(arr, idx * Jloc, Jloc, 0)
+
+    def _c_relax_sm(self, lvl, u):
+        li = self.levels[lvl]
+        m = li.m
+        J = (li.nt - 1) // m
+        Jloc = J // self.n_shards
+        tc_all, tprevf_all = self._block_c_times(lvl)
+        # C of block j (j>=1) updates from block j-1's last F over
+        # [tprevf[j-1], tc[j]]
+        tp = self._local_slice(jnp.concatenate([tprevf_all[:1], tprevf_all[:-1]]), Jloc)
+        tcu = self._local_slice(tc_all, Jloc)
+        prev_f = self._halo_prev_f(u["blocks"], lvl)
+        stepped = self._vstep(lvl)(prev_f, tp, tcu)
+        if lvl > 0:
+            g_c = jax.tree_util.tree_map(lambda g: g[:, 0], u["g_blocks"])
+            stepped = vector.add(g_c, stepped)
+        old_c = jax.tree_util.tree_map(lambda b: b[:, 0], u["blocks"])
+        if self.weight_c != 1.0:
+            stepped = vector.add(vector.scale(stepped, self.weight_c),
+                                 vector.scale(old_c, 1.0 - self.weight_c))
+        # global block 0 (shard 0, local 0) keeps the IC
+        keep0 = self._is_first_shard()
+        new_c = jax.tree_util.tree_map(
+            lambda s, o: jnp.where(
+                (jnp.arange(s.shape[0]) == 0)[(...,) + (None,) * (s.ndim - 1)] & keep0,
+                o, s), stepped, old_c)
+        new_blocks = jax.tree_util.tree_map(
+            lambda b, c: b.at[:, 0].set(c), u["blocks"], new_c)
+        out = {**u, "blocks": new_blocks}
+        # update 'last' (global final C-point) from the global last F-point
+        t_lvl = self.levels[lvl].t
+        stepped_last = self.step_fns[lvl](
+            self._global_last_f(u["blocks"]), jnp.asarray(t_lvl[-2]), jnp.asarray(t_lvl[-1]))
+        if lvl > 0:
+            stepped_last = vector.add(u["g_last"], stepped_last)
+        if self.weight_c != 1.0:
+            stepped_last = vector.add(vector.scale(stepped_last, self.weight_c),
+                                      vector.scale(u["last"], 1.0 - self.weight_c))
+        out["last"] = stepped_last
+        return out
+
+    def _global_last_f(self, blocks):
+        """The globally last F-point (last shard's last block's last entry),
+        broadcast to every shard via psum of a masked value."""
+        is_last = jax.lax.axis_index("time") == self.n_shards - 1
+        val = jax.tree_util.tree_map(lambda b: b[-1, -1], blocks)
+        masked = jax.tree_util.tree_map(
+            lambda x: jnp.where(is_last, x, jnp.zeros_like(x)), val)
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x, "time"), masked)
+
+    def _fas_sm(self, lvl, u, u_c):
+        """Restriction + FAS rhs into the coarse entry (identity spatial
+        transfer in this executor)."""
+        li = self.levels[lvl]
+        m = li.m
+        J = (li.nt - 1) // m
+        Jloc = J // self.n_shards
+        li_c = self.levels[lvl + 1]
+        m_c = li_c.m if lvl + 1 < self.lvl_max - 1 else 1
+        # fine C-points -> coarse flat points (local reshape)
+        fine_c = jax.tree_util.tree_map(lambda b: b[:, 0], u["blocks"])  # (Jloc,)
+        new_cblocks = jax.tree_util.tree_map(
+            lambda x: x.reshape((Jloc // m_c, m_c) + x.shape[1:]), fine_c)
+        new_clast = u["last"]
+
+        v_blocks = new_cblocks
+        v_last = new_clast
+
+        # g = R(step_f(u_prevF) - u_C [+ g terms]) + v - step_c(v_prev)
+        tc_all, tprevf_all = self._block_c_times(lvl)
+        tp = self._local_slice(jnp.concatenate([tprevf_all[:1], tprevf_all[:-1]]), Jloc)
+        tcu = self._local_slice(tc_all, Jloc)
+        prev_f = self._halo_prev_f(u["blocks"], lvl)
+        stepped_f = self._vstep(lvl)(prev_f, tp, tcu)
+        if lvl == 0:
+            inner = vector.sub(stepped_f, fine_c)
+        else:
+            g_c = jax.tree_util.tree_map(lambda g: g[:, 0], u["g_blocks"])
+            inner = vector.add(vector.sub(g_c, fine_c), stepped_f)
+
+        # coarse flat view of v (local): (Jloc,) coarse points; prev coarse
+        # point needs a halo of the previous coarse point state
+        v_flat = fine_c
+        v_prev = jax.tree_util.tree_map(
+            lambda x: jnp.roll(x, 1, axis=0), v_flat)
+        perm = [(i, i + 1) for i in range(self.n_shards - 1)]
+        from_left = jax.tree_util.tree_map(
+            lambda x: jax.lax.ppermute(x[-1:], "time", perm), v_flat)
+        v_prev = jax.tree_util.tree_map(lambda s, fl: s.at[0:1].set(fl),
+                                        v_prev, from_left)
+        t_coarse = self.levels[lvl + 1].t
+        Jc = len(t_coarse) - 1
+        tcp = self._local_slice(jnp.asarray(np.concatenate([[t_coarse[0]], t_coarse[:-2]])), Jloc)
+        tcc = self._local_slice(jnp.asarray(t_coarse[:-1]), Jloc)
+        stepped_c = self._vstep(lvl + 1)(v_prev, tcp, tcc)
+        g_flat = vector.add(inner, vector.sub(v_flat, stepped_c))
+        # global coarse point 0 keeps g = 0 (never used)
+        keep0 = self._is_first_shard()
+        g_flat = jax.tree_util.tree_map(
+            lambda g: jnp.where((jnp.arange(g.shape[0]) == 0)
+                                [(...,) + (None,) * (g.ndim - 1)] & keep0,
+                                jnp.zeros_like(g), g), g_flat)
+        g_blocks = jax.tree_util.tree_map(
+            lambda x: x.reshape((Jloc // m_c, m_c) + x.shape[1:]), g_flat)
+
+        # g_last: for the global last coarse point
+        last_innerf = self.step_fns[lvl](self._global_last_f(u["blocks"]),
+                                         jnp.asarray(li.t[-2]), jnp.asarray(li.t[-1]))
+        if lvl == 0:
+            inner_last = vector.sub(last_innerf, u["last"])
+        else:
+            inner_last = vector.add(vector.sub(u["g_last"], u["last"]), last_innerf)
+        v_prev_last = self._global_last_c_prev(v_flat)
+        stepped_cl = self.step_fns[lvl + 1](v_prev_last, jnp.asarray(t_coarse[-2]),
+                                            jnp.asarray(t_coarse[-1]))
+        g_last = vector.add(inner_last, vector.sub(v_last, stepped_cl))
+
+        return {**u_c, "blocks": new_cblocks, "last": new_clast,
+                "v_blocks": v_blocks, "v_last": v_last,
+                "g_blocks": g_blocks, "g_last": g_last}
+
+    def _global_last_c_prev(self, v_flat):
+        """Globally last coarse point's predecessor (= last shard's last
+        local coarse point), broadcast."""
+        is_last = jax.lax.axis_index("time") == self.n_shards - 1
+        val = jax.tree_util.tree_map(lambda x: x[-1], v_flat)
+        masked = jax.tree_util.tree_map(
+            lambda x: jnp.where(is_last, x, jnp.zeros_like(x)), val)
+        return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, "time"), masked)
+
+    def _error_correction_sm(self, lvl, u, u_c):
+        li_c1 = lvl + 1 < self.lvl_max - 1
+        e_blocks = vector.sub(u_c["blocks"], u_c["v_blocks"])
+        e_flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), e_blocks)  # (Jloc,)
+        keep0 = self._is_first_shard()
+        e_flat = jax.tree_util.tree_map(
+            lambda e: jnp.where((jnp.arange(e.shape[0]) == 0)
+                                [(...,) + (None,) * (e.ndim - 1)] & keep0,
+                                jnp.zeros_like(e), e), e_flat)
+        new_c = vector.add(jax.tree_util.tree_map(lambda b: b[:, 0], u["blocks"]), e_flat)
+        new_blocks = jax.tree_util.tree_map(lambda b, c: b.at[:, 0].set(c),
+                                            u["blocks"], new_c)
+        new_last = vector.add(u["last"], vector.sub(u_c["last"], u_c["v_last"]))
+        return {**u, "blocks": new_blocks, "last": new_last}
+
+    def _coarsest_solve_sm(self, u):
+        """Redundant sequential solve on every shard after one all_gather."""
+        lvl = self.lvl_max - 1
+        li = self.levels[lvl]
+        g_all = jax.tree_util.tree_map(
+            lambda x: jax.lax.all_gather(x, "time", tiled=True), u["g_blocks"])
+        u0_local = jax.tree_util.tree_map(lambda b: b[0, 0], u["blocks"])
+        # global first point: broadcast from shard 0
+        is_first = self._is_first_shard()
+        u0 = jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(jnp.where(is_first, x, jnp.zeros_like(x)), "time"),
+            u0_local)
+        g_flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), g_all)     # points 0..nt-2
+        # step i produces point i+1 and needs g[i+1]: points 1..nt-1
+        g_seq = jax.tree_util.tree_map(
+            lambda gf, gl: jnp.concatenate([gf[1:], gl[None]], axis=0),
+            g_flat, u["g_last"])
+        t = jnp.asarray(li.t)
+        step = self.step_fns[lvl]
+
+        def body(carry, inp):
+            t0, t1, gi = inp
+            nxt = vector.add(gi, step(carry, t0, t1))
+            return nxt, nxt
+
+        _, rest = jax.lax.scan(body, u0, (t[:-1], t[1:], g_seq))
+        # rest: (nt-1,) = points 1..nt-1; full = [u0] + rest
+        full = jax.tree_util.tree_map(
+            lambda r, z: jnp.concatenate([z[None], r[:-1]], axis=0), rest, u0)
+        Jloc = (li.nt - 1) // self.n_shards
+        local = jax.tree_util.tree_map(
+            lambda x: self._local_slice(x, Jloc), full)
+        new_blocks = jax.tree_util.tree_map(
+            lambda x: x.reshape((Jloc, 1) + x.shape[1:]), local)
+        new_last = jax.tree_util.tree_map(lambda r: r[-1], rest)
+        return {**u, "blocks": new_blocks, "last": new_last}
+
+    # ------------------------------------------------------------------
+    # cycles / iteration inside shard_map
+    # ------------------------------------------------------------------
+
+    def _cycle_sm(self, lvl, state, cycle_type, first_f, lvl0_first):
+        if lvl == self.lvl_max - 1:
+            state[lvl] = self._coarsest_solve_sm(state[lvl])
+            return
+        if (lvl > 0 or lvl0_first) and first_f:
+            state[lvl] = self._f_relax_sm(lvl, state[lvl])
+        for _ in range(self.cf_iter[lvl]):
+            state[lvl] = self._c_relax_sm(lvl, state[lvl])
+            state[lvl] = self._f_relax_sm(lvl, state[lvl])
+        state[lvl + 1] = self._fas_sm(lvl, state[lvl], state[lvl + 1])
+        self._cycle_sm(lvl + 1, state, cycle_type, True, lvl0_first)
+        state[lvl] = self._error_correction_sm(lvl, state[lvl], state[lvl + 1])
+        state[lvl] = self._f_relax_sm(lvl, state[lvl])
+        if lvl != 0 and cycle_type == 'F':
+            self._cycle_sm(lvl, state, 'V', False, lvl0_first)
+
+    def _sm(self, fn):
+        return shard_map(fn, mesh=self.mesh, in_specs=(self._specs,),
+                         out_specs=self._specs, check_vma=False)
+
+    def _iteration_sm(self, state, first):
+        def body(st):
+            st = dict(st)
+            self._cycle_sm(0, st, self.cycle_type, True, first)
+            return st
+
+        return self._sm(body)(state)
+
+    def _nested_sm(self, state):
+        def body(st):
+            st = dict(st)
+            st[self.lvl_max - 1] = self._coarsest_solve_sm(st[self.lvl_max - 1])
+            for lvl in range(self.lvl_max - 2, -1, -1):
+                # interpolate coarse points onto fine C-points (identity
+                # transfer): local reshape; global point 0 kept
+                coarse_flat = jax.tree_util.tree_map(
+                    lambda x: x.reshape((-1,) + x.shape[2:]), st[lvl + 1]["blocks"])
+                keep0 = self._is_first_shard()
+                old_c = jax.tree_util.tree_map(lambda b: b[:, 0], st[lvl]["blocks"])
+                new_c = jax.tree_util.tree_map(
+                    lambda c, o: jnp.where((jnp.arange(c.shape[0]) == 0)
+                                           [(...,) + (None,) * (c.ndim - 1)] & keep0,
+                                           o, c), coarse_flat, old_c)
+                blocks = jax.tree_util.tree_map(
+                    lambda b, c: b.at[:, 0].set(c), st[lvl]["blocks"], new_c)
+                st[lvl] = {**st[lvl], "blocks": blocks, "last": st[lvl + 1]["last"]}
+                if lvl > 0:
+                    self._cycle_sm(lvl, st, 'V', True, True)
+            return st
+
+        return self._sm(body)(state)
+
+    def _conv_sm(self, state):
+        ord_map = {1: 1, 2: None, 3: jnp.inf}
+
+        def body(st):
+            u = st[0]
+            li = self.levels[0]
+            m = li.m
+            J = (li.nt - 1) // m
+            Jloc = J // self.n_shards
+            tc_all, tprevf_all = self._block_c_times(0)
+            tp = self._local_slice(jnp.concatenate([tprevf_all[:1], tprevf_all[:-1]]), Jloc)
+            tcu = self._local_slice(tc_all, Jloc)
+            prev_f = self._halo_prev_f(u["blocks"], 0)
+            stepped = self._vstep(0)(prev_f, tp, tcu)
+            c_now = jax.tree_util.tree_map(lambda b: b[:, 0], u["blocks"])
+            r = vector.sub(stepped, c_now)
+            norms = jax.vmap(self.state_norm)(r)
+            # global block 0 (the IC) is not a residual point
+            keep0 = self._is_first_shard()
+            norms = jnp.where((jnp.arange(norms.shape[0]) == 0) & keep0, 0.0, norms)
+            # plus the global last point
+            lastf = self._global_last_f(u["blocks"])
+            stepped_last = self.step_fns[0](lastf, jnp.asarray(li.t[-2]),
+                                            jnp.asarray(li.t[-1]))
+            r_last = vector.sub(stepped_last, u["last"])
+            n_last = self.state_norm(r_last)
+            if self.t_norm == 2:
+                total = jax.lax.psum(jnp.sum(norms ** 2), "time")
+                conv = jnp.sqrt(total + n_last ** 2)
+            elif self.t_norm == 1:
+                conv = jax.lax.psum(jnp.sum(norms), "time") + n_last
+            else:
+                conv = jnp.maximum(jax.lax.pmax(jnp.max(norms), "time"), n_last)
+            return conv
+
+        return shard_map(body, mesh=self.mesh, in_specs=(self._specs,),
+                         out_specs=P(), check_vma=False)(state)
+
+    # ------------------------------------------------------------------
+
+    def solve(self) -> dict:
+        t0 = time.time()
+        for it in range(self.iter_max):
+            self.state = self._jit_iter(self.state, first=(it == 0))
+            conv = float(self._jit_conv(self.state))
+            self.conv[it + 1] = conv
+            logging.info(f"sharded iter {it + 1} | conv: {conv}")
+            if conv < self.tol:
+                break
+        self.runtime_solve = time.time() - t0
+        return {'conv': self.conv[np.where(self.conv != 0)],
+                'time_setup': self.runtime_setup, 'time_solve': self.runtime_solve}
+
+    def fine_solution(self):
+        """Gather the fine-level solution as a (nt, ...) tube."""
+        u = self.state[0]
+        return self._unblockify(u["blocks"], u["last"])

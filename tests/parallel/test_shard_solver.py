@@ -1,0 +1,80 @@
+"""shard_map executor vs the serial solver: identical residual histories on
+an 8-way virtual mesh (the reference's rank-count invariance, realized with
+explicit ppermute halos instead of MPI messages)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pymgrit_tpu import Mgrit, Dahlquist, Heat2D
+from pymgrit_tpu.parallel.sharding import make_time_space_mesh
+from pymgrit_tpu.parallel.shard_solver import ShardedMgrit
+
+
+def _dahlquist(nts):
+    return [Dahlquist(t_start=0, t_stop=5, nt=nt) for nt in nts]
+
+
+def test_two_level_matches_serial():
+    # nt=129: J = 64 intervals over 8 shards
+    serial = Mgrit(problem=_dahlquist((129, 65)), tol=1e-10, logging_lvl=30)
+    base = serial.solve()['conv']
+
+    mesh = make_time_space_mesh(n_time=8, n_space=1)
+    sm = ShardedMgrit(problem=_dahlquist((129, 65)), mesh=mesh, tol=1e-10,
+                      logging_lvl=30)
+    conv = sm.solve()['conv']
+    assert len(conv) == len(base)
+    np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15)
+
+    # solutions agree too
+    u_serial = np.asarray(serial.u[0])
+    u_sm = np.asarray(sm.fine_solution())
+    np.testing.assert_allclose(u_sm, u_serial, atol=1e-12)
+
+
+def test_three_level_fcycle_matches_serial():
+    nts = (257, 65, 17)
+    kw = dict(tol=1e-10, cycle_type='F', cf_iter=1, logging_lvl=30)
+    base = Mgrit(problem=_dahlquist(nts), **kw).solve()['conv']
+    mesh = make_time_space_mesh(n_time=4, n_space=1)
+    conv = ShardedMgrit(problem=_dahlquist(nts), mesh=mesh, **kw).solve()['conv']
+    assert len(conv) == len(base)
+    np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15)
+
+
+def test_heat2d_matches_serial():
+    def build():
+        def rhs(x, y, t):
+            return 5 * x * (1 - x) * y * (1 - y) + 0 * t
+
+        h0 = Heat2D(x_start=0, x_end=1, y_start=0, y_end=1, nx=17, ny=19, a=1.0,
+                    rhs=rhs, t_start=0, t_stop=1, nt=65)
+        h1 = Heat2D(x_start=0, x_end=1, y_start=0, y_end=1, nx=17, ny=19, a=1.0,
+                    rhs=rhs, t_interval=h0.t[::4])
+        return [h0, h1]
+
+    kw = dict(tol=1e-11, max_iter=6, logging_lvl=30)
+    base = Mgrit(problem=build(), **kw).solve()['conv']
+    mesh = make_time_space_mesh(n_time=8, n_space=1)
+    conv = ShardedMgrit(problem=build(), mesh=mesh, **kw).solve()['conv']
+    assert len(conv) == len(base)
+    np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15)
+
+
+def test_weighted_and_norms():
+    nts = (129, 33)
+    for kw in (dict(weight_c=1.3), dict(t_norm=1), dict(t_norm=3), dict(cf_iter=2)):
+        base = Mgrit(problem=_dahlquist(nts), tol=1e-9, logging_lvl=30, **kw).solve()['conv']
+        mesh = make_time_space_mesh(n_time=4, n_space=1)
+        conv = ShardedMgrit(problem=_dahlquist(nts), mesh=mesh, tol=1e-9,
+                            logging_lvl=30, **kw).solve()['conv']
+        assert len(conv) == len(base), kw
+        np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15, err_msg=str(kw))
+
+
+def test_validation():
+    mesh = make_time_space_mesh(n_time=8, n_space=1)
+    with pytest.raises(Exception):
+        # 101 points -> J=50 not divisible by 8
+        ShardedMgrit(problem=_dahlquist((101, 51)), mesh=mesh)
