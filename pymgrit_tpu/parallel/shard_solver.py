@@ -51,6 +51,10 @@ class ShardedMgrit:
                  max_iter: int = 100, nested_iteration: bool = True,
                  cf_iter=1, cycle_type: str = 'V', weight_c: float = 1.0,
                  t_norm: int = 2, logging_lvl: int = logging.INFO):
+        import sys
+        logging.basicConfig(format='%(levelname)s - %(asctime)s - %(message)s',
+                            datefmt='%d-%m-%y %H:%M:%S', level=logging_lvl,
+                            stream=sys.stdout)
         validate_hierarchy([p.t for p in problem])
         self.problem = problem
         self.mesh = mesh
