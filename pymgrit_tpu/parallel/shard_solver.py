@@ -47,9 +47,10 @@ from pymgrit_tpu.core.levels import build_level_infos, validate_hierarchy
 class ShardedMgrit:
     """MGRIT over a 1-D 'time' mesh with explicit halo collectives."""
 
-    def __init__(self, problem: List, mesh: Mesh, tol: float = 1e-7,
-                 max_iter: int = 100, nested_iteration: bool = True,
-                 cf_iter=1, cycle_type: str = 'V', weight_c: float = 1.0,
+    def __init__(self, problem: List, mesh: Mesh, transfer: List = None,
+                 tol: float = 1e-7, max_iter: int = 100,
+                 nested_iteration: bool = True, cf_iter=1,
+                 cycle_type: str = 'V', weight_c: float = 1.0,
                  t_norm: int = 2, logging_lvl: int = logging.INFO):
         import sys
         logging.basicConfig(format='%(levelname)s - %(asctime)s - %(message)s',
@@ -89,6 +90,11 @@ class ShardedMgrit:
             raise Exception("coarsest level point count must divide over shards")
         self.step_fns = [p.step for p in problem]
         self.state_norm = getattr(problem[0], "state_norm", vector.norm)
+        if transfer is None:
+            from pymgrit_tpu.core.grid_transfer import GridTransferCopy
+            transfer = [GridTransferCopy() for _ in range(self.lvl_max - 1)]
+        self.restrict_fns = [tr.restriction for tr in transfer]
+        self.interp_fns = [tr.interpolation for tr in transfer]
 
         t0 = time.time()
         self._build_state(nested_iteration)
@@ -301,19 +307,21 @@ class ShardedMgrit:
             lambda x: jax.lax.psum(x, "time"), masked)
 
     def _fas_sm(self, lvl, u, u_c):
-        """Restriction + FAS rhs into the coarse entry (identity spatial
-        transfer in this executor)."""
+        """Restriction + FAS rhs into the coarse entry; spatial transfer
+        operators are applied leafwise (shard-local)."""
         li = self.levels[lvl]
         m = li.m
         J = (li.nt - 1) // m
         Jloc = J // self.n_shards
         li_c = self.levels[lvl + 1]
         m_c = li_c.m if lvl + 1 < self.lvl_max - 1 else 1
-        # fine C-points -> coarse flat points (local reshape)
+        # fine C-points -> restricted coarse flat points (local)
         fine_c = jax.tree_util.tree_map(lambda b: b[:, 0], u["blocks"])  # (Jloc,)
+        vrestrict = jax.vmap(self.restrict_fns[lvl])
+        coarse_flat = vrestrict(fine_c)
         new_cblocks = jax.tree_util.tree_map(
-            lambda x: x.reshape((Jloc // m_c, m_c) + x.shape[1:]), fine_c)
-        new_clast = u["last"]
+            lambda x: x.reshape((Jloc // m_c, m_c) + x.shape[1:]), coarse_flat)
+        new_clast = self.restrict_fns[lvl](u["last"])
 
         v_blocks = new_cblocks
         v_last = new_clast
@@ -329,10 +337,11 @@ class ShardedMgrit:
         else:
             g_c = jax.tree_util.tree_map(lambda g: g[:, 0], u["g_blocks"])
             inner = vector.add(vector.sub(g_c, fine_c), stepped_f)
+        inner = vrestrict(inner)
 
         # coarse flat view of v (local): (Jloc,) coarse points; prev coarse
         # point needs a halo of the previous coarse point state
-        v_flat = fine_c
+        v_flat = coarse_flat
         v_prev = jax.tree_util.tree_map(
             lambda x: jnp.roll(x, 1, axis=0), v_flat)
         perm = [(i, i + 1) for i in range(self.n_shards - 1)]
@@ -362,6 +371,7 @@ class ShardedMgrit:
             inner_last = vector.sub(last_innerf, u["last"])
         else:
             inner_last = vector.add(vector.sub(u["g_last"], u["last"]), last_innerf)
+        inner_last = self.restrict_fns[lvl](inner_last)
         v_prev_last = self._global_last_c_prev(v_flat)
         stepped_cl = self.step_fns[lvl + 1](v_prev_last, jnp.asarray(t_coarse[-2]),
                                             jnp.asarray(t_coarse[-1]))
@@ -390,10 +400,12 @@ class ShardedMgrit:
             lambda e: jnp.where((jnp.arange(e.shape[0]) == 0)
                                 [(...,) + (None,) * (e.ndim - 1)] & keep0,
                                 jnp.zeros_like(e), e), e_flat)
-        new_c = vector.add(jax.tree_util.tree_map(lambda b: b[:, 0], u["blocks"]), e_flat)
+        e_int = jax.vmap(self.interp_fns[lvl])(e_flat)
+        new_c = vector.add(jax.tree_util.tree_map(lambda b: b[:, 0], u["blocks"]), e_int)
         new_blocks = jax.tree_util.tree_map(lambda b, c: b.at[:, 0].set(c),
                                             u["blocks"], new_c)
-        new_last = vector.add(u["last"], vector.sub(u_c["last"], u_c["v_last"]))
+        new_last = vector.add(u["last"], self.interp_fns[lvl](
+            vector.sub(u_c["last"], u_c["v_last"])))
         return {**u, "blocks": new_blocks, "last": new_last}
 
     def _coarsest_solve_sm(self, u):
@@ -475,6 +487,7 @@ class ShardedMgrit:
                 # transfer): local reshape; global point 0 kept
                 coarse_flat = jax.tree_util.tree_map(
                     lambda x: x.reshape((-1,) + x.shape[2:]), st[lvl + 1]["blocks"])
+                coarse_flat = jax.vmap(self.interp_fns[lvl])(coarse_flat)
                 keep0 = self._is_first_shard()
                 old_c = jax.tree_util.tree_map(lambda b: b[:, 0], st[lvl]["blocks"])
                 new_c = jax.tree_util.tree_map(
@@ -483,52 +496,105 @@ class ShardedMgrit:
                                            o, c), coarse_flat, old_c)
                 blocks = jax.tree_util.tree_map(
                     lambda b, c: b.at[:, 0].set(c), st[lvl]["blocks"], new_c)
-                st[lvl] = {**st[lvl], "blocks": blocks, "last": st[lvl + 1]["last"]}
+                st[lvl] = {**st[lvl], "blocks": blocks,
+                           "last": self.interp_fns[lvl](st[lvl + 1]["last"])}
                 if lvl > 0:
                     self._cycle_sm(lvl, st, 'V', True, True)
             return st
 
         return self._sm(body)(state)
 
+    def _conv_body(self, st):
+        """Residual norm (shard-local compute + psum/pmax reduce); callable
+        inside any shard_map body."""
+        u = st[0]
+        li = self.levels[0]
+        m = li.m
+        J = (li.nt - 1) // m
+        Jloc = J // self.n_shards
+        tc_all, tprevf_all = self._block_c_times(0)
+        tp = self._local_slice(jnp.concatenate([tprevf_all[:1], tprevf_all[:-1]]), Jloc)
+        tcu = self._local_slice(tc_all, Jloc)
+        prev_f = self._halo_prev_f(u["blocks"], 0)
+        stepped = self._vstep(0)(prev_f, tp, tcu)
+        c_now = jax.tree_util.tree_map(lambda b: b[:, 0], u["blocks"])
+        r = vector.sub(stepped, c_now)
+        norms = jax.vmap(self.state_norm)(r)
+        # global block 0 (the IC) is not a residual point
+        keep0 = self._is_first_shard()
+        norms = jnp.where((jnp.arange(norms.shape[0]) == 0) & keep0, 0.0, norms)
+        # plus the global last point
+        lastf = self._global_last_f(u["blocks"])
+        stepped_last = self.step_fns[0](lastf, jnp.asarray(li.t[-2]),
+                                        jnp.asarray(li.t[-1]))
+        r_last = vector.sub(stepped_last, u["last"])
+        n_last = self.state_norm(r_last)
+        if self.t_norm == 2:
+            total = jax.lax.psum(jnp.sum(norms ** 2), "time")
+            conv = jnp.sqrt(total + n_last ** 2)
+        elif self.t_norm == 1:
+            conv = jax.lax.psum(jnp.sum(norms), "time") + n_last
+        else:
+            conv = jnp.maximum(jax.lax.pmax(jnp.max(norms), "time"), n_last)
+        return conv
+
     def _conv_sm(self, state):
-        ord_map = {1: 1, 2: None, 3: jnp.inf}
-
-        def body(st):
-            u = st[0]
-            li = self.levels[0]
-            m = li.m
-            J = (li.nt - 1) // m
-            Jloc = J // self.n_shards
-            tc_all, tprevf_all = self._block_c_times(0)
-            tp = self._local_slice(jnp.concatenate([tprevf_all[:1], tprevf_all[:-1]]), Jloc)
-            tcu = self._local_slice(tc_all, Jloc)
-            prev_f = self._halo_prev_f(u["blocks"], 0)
-            stepped = self._vstep(0)(prev_f, tp, tcu)
-            c_now = jax.tree_util.tree_map(lambda b: b[:, 0], u["blocks"])
-            r = vector.sub(stepped, c_now)
-            norms = jax.vmap(self.state_norm)(r)
-            # global block 0 (the IC) is not a residual point
-            keep0 = self._is_first_shard()
-            norms = jnp.where((jnp.arange(norms.shape[0]) == 0) & keep0, 0.0, norms)
-            # plus the global last point
-            lastf = self._global_last_f(u["blocks"])
-            stepped_last = self.step_fns[0](lastf, jnp.asarray(li.t[-2]),
-                                            jnp.asarray(li.t[-1]))
-            r_last = vector.sub(stepped_last, u["last"])
-            n_last = self.state_norm(r_last)
-            if self.t_norm == 2:
-                total = jax.lax.psum(jnp.sum(norms ** 2), "time")
-                conv = jnp.sqrt(total + n_last ** 2)
-            elif self.t_norm == 1:
-                conv = jax.lax.psum(jnp.sum(norms), "time") + n_last
-            else:
-                conv = jnp.maximum(jax.lax.pmax(jnp.max(norms), "time"), n_last)
-            return conv
-
-        return shard_map(body, mesh=self.mesh, in_specs=(self._specs,),
+        return shard_map(self._conv_body, mesh=self.mesh, in_specs=(self._specs,),
                          out_specs=P(), check_vma=False)(state)
 
     # ------------------------------------------------------------------
+
+    def solve_compiled(self) -> dict:
+        """Entire iteration loop inside one shard_map + lax.while_loop:
+        halos, cycles, and the convergence check all run on device with no
+        host round trips (the sharded analogue of Mgrit.solve_compiled)."""
+        if not hasattr(self, "_jit_solve_loop"):
+            def loop(state):
+                def body_fn(st):
+                    st2 = dict(st)
+                    self._cycle_sm(0, st2, self.cycle_type, True, False)
+                    return st2
+
+                def body_first(st):
+                    st2 = dict(st)
+                    self._cycle_sm(0, st2, self.cycle_type, True, True)
+                    return st2
+
+                def conv_of(st):
+                    return self._conv_body(st)
+
+                def cond(carry):
+                    it, hist, st, done = carry
+                    return jnp.logical_and(it < self.iter_max,
+                                           jnp.logical_not(done))
+
+                def body(carry):
+                    it, hist, st, done = carry
+                    st = jax.lax.cond(it == 0, body_first, body_fn, st)
+                    conv = conv_of(st)
+                    hist = hist.at[it].set(conv)
+                    return (it + 1, hist, st, conv < self.tol)
+
+                hist0 = jnp.zeros(self.iter_max, dtype=jnp.result_type(0.0))
+                it, hist, st, done = jax.lax.while_loop(
+                    cond, body, (jnp.array(0), hist0, state, jnp.array(False)))
+                return it, hist, st
+
+            self._jit_solve_loop = jax.jit(shard_map(
+                loop, mesh=self.mesh, in_specs=(self._specs,),
+                out_specs=(P(), P(), self._specs), check_vma=False))
+
+        t0 = time.time()
+        it, hist, self.state = self._jit_solve_loop(self.state)
+        it = int(it)
+        hist = np.asarray(hist)
+        self.conv = np.zeros(self.iter_max + 1)
+        self.conv[1:it + 1] = hist[:it]
+        self.runtime_solve = time.time() - t0
+        for k in range(it):
+            logging.info(f"sharded iter {k + 1} | conv: {hist[k]}")
+        return {'conv': self.conv[np.where(self.conv != 0)],
+                'time_setup': self.runtime_setup, 'time_solve': self.runtime_solve}
 
     def solve(self) -> dict:
         t0 = time.time()
@@ -547,3 +613,55 @@ class ShardedMgrit:
         """Gather the fine-level solution as a (nt, ...) tube."""
         u = self.state[0]
         return self._unblockify(u["blocks"], u["last"])
+
+
+class ShardedAtMgrit(ShardedMgrit):
+    """AT-MGRIT inside the shard_map executor: the coarsest level solves
+    distance-k truncated local windows, batched over every local point after
+    one small all_gather (reference at_mgrit.py:37-88 — the black/green
+    communicator machinery collapses into all_gather + a masked scan)."""
+
+    def __init__(self, k: int, *args, **kwargs):
+        self.k = k
+        super().__init__(*args, **kwargs)
+
+    def _coarsest_solve_sm(self, u):
+        lvl = self.lvl_max - 1
+        li = self.levels[lvl]
+        nt = li.nt
+        k = self.k
+        t = jnp.asarray(li.t)
+        Jloc = (nt - 1) // self.n_shards
+        step = self.step_fns[lvl]
+
+        # snapshot of the full coarsest grid (points 0..nt-1), replicated
+        u_full = jax.tree_util.tree_map(
+            lambda x, l: jnp.concatenate(
+                [jax.lax.all_gather(x, "time", tiled=True)
+                 .reshape((-1,) + x.shape[2:]), l[None]], axis=0),
+            u["blocks"], u["last"])
+        g_full = jax.tree_util.tree_map(
+            lambda x, l: jnp.concatenate(
+                [jax.lax.all_gather(x, "time", tiled=True)
+                 .reshape((-1,) + x.shape[2:]), l[None]], axis=0),
+            u["g_blocks"], u["g_last"])
+
+        idx = jax.lax.axis_index("time")
+        pts = idx * Jloc + jnp.arange(Jloc)                     # local points
+        pts = jnp.concatenate([pts, jnp.array([nt - 1])])       # + global last
+        ws = jnp.maximum(0, pts - k + 1)
+        x = jax.tree_util.tree_map(lambda f: f[ws], u_full)
+
+        def body(carry, j):
+            i = jnp.minimum(ws + 1 + j, nt - 1)
+            active = (ws + 1 + j) <= pts
+            gi = jax.tree_util.tree_map(lambda g: g[i], g_full)
+            stepped = vector.add(gi, jax.vmap(step)(carry, t[i - 1], t[i]))
+            carry = vector.where(active, stepped, carry)
+            return carry, None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(max(k - 1, 1)))
+        new_blocks = jax.tree_util.tree_map(
+            lambda v: v[:-1].reshape((Jloc, 1) + v.shape[1:]), x)
+        new_last = jax.tree_util.tree_map(lambda v: v[-1], x)
+        return {**u, "blocks": new_blocks, "last": new_last}

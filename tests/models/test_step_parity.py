@@ -188,3 +188,39 @@ def test_heat_1d_bdf_steps():
         rf, rs, _ = rout.get_values()
         np.testing.assert_allclose(np.asarray(oout["first"]), rf, atol=1e-11)
         np.testing.assert_allclose(np.asarray(oout["second"]), rs, atol=1e-11)
+
+
+def test_heat_2d_callable_bcs():
+    """Callable per-edge Dirichlet data (reference heat_2d.py:204-231)."""
+    from pymgrit.heat.heat_2d import Heat2D as RefHeat2D, VectorHeat2D
+    from pymgrit_tpu import Heat2D
+
+    kw = dict(x_start=0, x_end=1, y_start=0, y_end=2, nx=13, ny=17, a=2.0,
+              method='BE',
+              bc_left=lambda x: np.sin(x), bc_right=lambda x: x ** 2,
+              bc_bottom=lambda y: 1 + y, bc_top=lambda y: np.cos(y),
+              t_start=0, t_stop=1, nt=5)
+    ref = RefHeat2D(**kw)
+    ours = Heat2D(**kw)
+    np.testing.assert_allclose(np.asarray(ours.vector_t_start),
+                               ref.vector_t_start.get_values(), atol=1e-14)
+    u0 = rng.standard_normal((13, 17))
+    rv = VectorHeat2D(13, 17)
+    rv.set_values(u0.copy())
+    r = ref.step(rv, 0.1, 0.35).get_values()
+    o = np.asarray(ours.step(jnp.asarray(u0), 0.1, 0.35))
+    np.testing.assert_allclose(o, r, atol=1e-10)
+
+
+def test_dahlquist_custom_lambda():
+    from pymgrit.dahlquist.dahlquist import Dahlquist as RefDahlquist
+    from pymgrit_tpu import Dahlquist
+
+    for method in ("BE", "FE", "TR"):
+        ref = RefDahlquist(constant_lambda=-2.5, method=method, t_start=0, t_stop=5, nt=11)
+        ours = Dahlquist(constant_lambda=-2.5, method=method, t_start=0, t_stop=5, nt=11)
+        rv = ref.vector_template.clone_zero()
+        rv.set_values(0.4)
+        r = ref.step(rv, 0.0, 0.5).get_values()
+        o = float(ours.step(jnp.asarray(0.4), 0.0, 0.5))
+        assert abs(o - r) < 1e-14

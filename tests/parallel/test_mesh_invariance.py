@@ -72,3 +72,20 @@ def test_heat1d_fcycle_mesh_invariance():
 def test_mesh_too_big_raises():
     with pytest.raises(Exception):
         make_time_space_mesh(n_time=64, n_space=4)
+
+
+def test_at_mgrit_mesh_invariance():
+    """AT-MGRIT's batched truncated windows under a time mesh (the
+    all_gather-based coarsest strategy, reference at_mgrit.py:45-76)."""
+    from pymgrit_tpu import AtMgrit
+
+    def build():
+        return [Dahlquist(t_start=0, t_stop=5, nt=129),
+                Dahlquist(t_start=0, t_stop=5, nt=33)]
+
+    kw = dict(k=4, tol=1e-9, max_iter=10, logging_lvl=30)
+    base = AtMgrit(problem=build(), **kw).solve()['conv']
+    mesh = make_time_space_mesh(n_time=8, n_space=1)
+    conv = AtMgrit(problem=build(), mesh=mesh, **kw).solve()['conv']
+    assert len(conv) == len(base)
+    np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15)

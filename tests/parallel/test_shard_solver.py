@@ -78,3 +78,84 @@ def test_validation():
     with pytest.raises(Exception):
         # 101 points -> J=50 not divisible by 8
         ShardedMgrit(problem=_dahlquist((101, 51)), mesh=mesh)
+
+
+def test_spatial_coarsening_matches_serial():
+    """Spatial transfer operators in the sharded executor (full-weighting
+    restriction between per-level nx grids)."""
+    from pymgrit_tpu import Heat1D, GridTransferCopy
+    from pymgrit_tpu.models.grid_transfer_heat import GridTransferHeat
+
+    def rhs(x, t):
+        return -jnp.sin(jnp.pi * x) * (jnp.sin(t) - jnp.pi ** 2 * jnp.cos(t))
+
+    def ic(x):
+        return np.sin(np.pi * x)
+
+    def build():
+        h0 = Heat1D(x_start=0, x_end=2, nx=2 ** 4 + 1, a=1, rhs=rhs, init_cond=ic,
+                    t_start=0, t_stop=2, nt=65)
+        h1 = Heat1D(x_start=0, x_end=2, nx=2 ** 3 + 1, a=1, rhs=rhs, init_cond=ic,
+                    t_interval=h0.t[::2])
+        h2 = Heat1D(x_start=0, x_end=2, nx=2 ** 3 + 1, a=1, rhs=rhs, init_cond=ic,
+                    t_interval=h1.t[::2])
+        return [h0, h1, h2], [GridTransferHeat(), GridTransferCopy()]
+
+    probs, tr = build()
+    base = Mgrit(problem=probs, transfer=tr, tol=1e-9, logging_lvl=30).solve()['conv']
+    probs, tr = build()
+    mesh = make_time_space_mesh(n_time=4, n_space=1)
+    conv = ShardedMgrit(problem=probs, transfer=tr, mesh=mesh, tol=1e-9,
+                        logging_lvl=30).solve()['conv']
+    assert len(conv) == len(base)
+    np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15)
+
+
+def test_compiled_sharded_loop():
+    """The device-resident sharded loop matches the host-driven one."""
+    base = ShardedMgrit(problem=_dahlquist((129, 65)),
+                        mesh=make_time_space_mesh(n_time=8, n_space=1),
+                        tol=1e-10, logging_lvl=30).solve()['conv']
+    sm = ShardedMgrit(problem=_dahlquist((129, 65)),
+                      mesh=make_time_space_mesh(n_time=8, n_space=1),
+                      tol=1e-10, logging_lvl=30)
+    conv = sm.solve_compiled()['conv']
+    assert len(conv) == len(base)
+    np.testing.assert_allclose(conv, base, rtol=1e-10)
+
+
+def test_sharded_at_mgrit_matches_core():
+    """ShardedAtMgrit reproduces the core AtMgrit's history."""
+    from pymgrit_tpu import AtMgrit
+    from pymgrit_tpu.parallel.shard_solver import ShardedAtMgrit
+
+    kw = dict(tol=1e-9, max_iter=12, logging_lvl=30)
+    base = AtMgrit(k=4, problem=_dahlquist((129, 33)), **kw).solve()['conv']
+    mesh = make_time_space_mesh(n_time=8, n_space=1)
+    conv = ShardedAtMgrit(k=4, problem=_dahlquist((129, 33)), mesh=mesh,
+                          **kw).solve()['conv']
+    assert len(conv) == len(base), (conv, base)
+    np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15)
+
+
+def test_sharded_at_mgrit_vector_state():
+    """Vector-valued states through the sharded AT-MGRIT coarsest solve."""
+    from pymgrit_tpu import AtMgrit, Heat1D
+    from pymgrit_tpu.parallel.shard_solver import ShardedAtMgrit
+
+    def rhs(x, t):
+        return -jnp.sin(jnp.pi * x) * (jnp.sin(t) - jnp.pi ** 2 * jnp.cos(t))
+
+    def build():
+        h0 = Heat1D(x_start=0, x_end=2, nx=33, a=1, rhs=rhs,
+                    init_cond=lambda x: np.sin(np.pi * x), t_start=0, t_stop=2, nt=129)
+        h1 = Heat1D(x_start=0, x_end=2, nx=33, a=1, rhs=rhs,
+                    init_cond=lambda x: np.sin(np.pi * x), t_interval=h0.t[::4])
+        return [h0, h1]
+
+    kw = dict(tol=1e-9, max_iter=12, logging_lvl=30)
+    base = AtMgrit(k=4, problem=build(), **kw).solve()['conv']
+    mesh = make_time_space_mesh(n_time=4, n_space=1)
+    conv = ShardedAtMgrit(k=4, problem=build(), mesh=mesh, **kw).solve()['conv']
+    assert len(conv) == len(base)
+    np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15)
