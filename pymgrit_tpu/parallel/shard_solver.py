@@ -22,16 +22,25 @@ shard-local except one neighbor exchange:
   sequential rank chain (mgrit.py:459-486).
 * Residual norms reduce with ``psum``/``pmax``.
 
-Constraints (round 1): uniform coarsening, global convergence criteria,
-J divisible by n_time * (product of coarser m's) per level.  The general
-Mgrit handles everything else.
+Arbitrary interval counts are supported by **padding**: each level's
+interval count J is rounded up to a shard-divisible J_pad (consistently
+across levels, so restriction stays a local reshape) with phantom trailing
+intervals.  Phantom intervals carry linearly-extended time values (finite,
+positive dt — steppers run on them harmlessly), their results are never
+read: the final point lives in the replicated ``last`` leaf, residual
+norms mask phantom lanes to zero, and the coarsest sequential scan only
+commits real points.  This is the SPMD analogue of the reference's ranks
+that own zero points on coarse levels (tests/mpi/procs_without_points.py).
+
+Remaining constraint: uniform coarsening per level (rectangular (J, m)
+blocks are what batches onto the MXU; the reference's non-uniform
+``varying_coarsening`` corner case runs on the general GSPMD ``Mgrit``).
 """
 
 from __future__ import annotations
 
 import logging
 import time
-from functools import partial
 from typing import List
 
 import jax
@@ -42,6 +51,19 @@ from jax import shard_map
 
 from pymgrit_tpu.core import vector
 from pymgrit_tpu.core.levels import build_level_infos, validate_hierarchy
+
+
+def _pad_times(t: np.ndarray, n_points: int) -> np.ndarray:
+    """Extend a time grid to n_points by continuing the last spacing
+    (phantom points get finite, strictly increasing times)."""
+    t = np.asarray(t, dtype=np.float64)
+    extra = n_points - len(t)
+    if extra <= 0:
+        return t[:n_points]
+    dt = t[-1] - t[-2] if len(t) > 1 else 1.0
+    if dt <= 0:
+        dt = 1.0
+    return np.concatenate([t, t[-1] + dt * np.arange(1, extra + 1)])
 
 
 class ShardedMgrit:
@@ -72,22 +94,30 @@ class ShardedMgrit:
         self.runtime_setup = 0.0
         self.runtime_solve = 0.0
 
-        for lvl in range(self.lvl_max - 1):
-            li = self.levels[lvl]
-            if not li.uniform:
-                raise Exception("ShardedMgrit requires uniform coarsening on every level")
-            J = (li.nt - 1) // li.m
-            if J % self.n_shards != 0:
-                raise Exception(
-                    f"level {lvl}: interval count {J} must divide evenly over "
-                    f"{self.n_shards} shards (pad nt)")
-            m_next = self.levels[lvl + 1].m if lvl + 1 < self.lvl_max - 1 else 1
-            if m_next and (J // self.n_shards) % max(m_next, 1) != 0:
-                raise Exception(
-                    f"level {lvl}: local interval count {J // self.n_shards} must "
-                    f"divide by the next level's coarsening factor {m_next}")
-        if (self.levels[-1].nt - 1) % self.n_shards != 0:
-            raise Exception("coarsest level point count must divide over shards")
+        L = self.lvl_max
+        for lvl in range(L - 1):
+            if not self.levels[lvl].uniform:
+                raise Exception("ShardedMgrit requires uniform coarsening on "
+                                "every level (use Mgrit for non-uniform grids)")
+
+        # Padded interval counts: J_pad divisible over shards on every level
+        # and local counts divisible by the next level's coarsening factor,
+        # chosen coarsest-up so restriction remains a local reshape.
+        P_ = self.n_shards
+        self.m_eff = [self.levels[l].m if l < L - 1 else 1 for l in range(L)]
+        self.J_real = [(self.levels[l].nt - 1) // self.m_eff[l] for l in range(L)]
+        self.J_pad = [0] * L
+        self.J_pad[L - 1] = -(-self.J_real[L - 1] // P_) * P_
+        if L >= 2:
+            self.J_pad[L - 2] = self.J_pad[L - 1]
+        for l in range(L - 3, -1, -1):
+            self.J_pad[l] = self.J_pad[l + 1] * self.m_eff[l + 1]
+        self.Jloc = [self.J_pad[l] // P_ for l in range(L)]
+        # Padded per-level time grids: J_pad*m + 1 points, linear extension.
+        self.t_pad = [_pad_times(self.levels[l].t,
+                                 self.J_pad[l] * self.m_eff[l] + 1)
+                      for l in range(L)]
+
         self.step_fns = [p.step for p in problem]
         self.state_norm = getattr(problem[0], "state_norm", vector.norm)
         if transfer is None:
@@ -105,27 +135,34 @@ class ShardedMgrit:
     # ------------------------------------------------------------------
 
     def _blockify(self, tube, lvl):
-        """(nt, ...) -> (blocks (J, m, ...), last)."""
+        """(nt, ...) -> (blocks (J_pad, m, ...), last); phantom blocks zero."""
         li = self.levels[lvl]
-        m = li.m if lvl < self.lvl_max - 1 else 1
-        J = (li.nt - 1) // m
+        m = self.m_eff[lvl]
+        J, Jp = self.J_real[lvl], self.J_pad[lvl]
         blocks = jax.tree_util.tree_map(
             lambda x: x[:li.nt - 1].reshape((J, m) + x.shape[1:]), tube)
+        if Jp > J:
+            blocks = jax.tree_util.tree_map(
+                lambda b: jnp.concatenate(
+                    [b, jnp.zeros((Jp - J,) + b.shape[1:], b.dtype)], axis=0),
+                blocks)
         last = jax.tree_util.tree_map(lambda x: x[li.nt - 1], tube)
         return blocks, last
 
-    def _unblockify(self, blocks, last):
+    def _unblockify(self, blocks, last, lvl=0):
+        """Padded (J_pad, m, ...) blocks + last -> real (nt, ...) tube."""
+        n_real = self.J_real[lvl] * self.m_eff[lvl]
         flat = jax.tree_util.tree_map(
-            lambda x: x.reshape((-1,) + x.shape[2:]), blocks)
+            lambda x: x.reshape((-1,) + x.shape[2:])[:n_real], blocks)
         return jax.tree_util.tree_map(
             lambda f, l: jnp.concatenate([f, l[None]], axis=0), flat, last)
 
     def _level_times(self, lvl):
-        li = self.levels[lvl]
-        m = li.m if lvl < self.lvl_max - 1 else 1
-        J = (li.nt - 1) // m
-        t_blocks = li.t[:li.nt - 1].reshape(J, m)
-        return jnp.asarray(t_blocks), jnp.asarray(li.t[li.nt - 1])
+        """Padded (J_pad, m) block times."""
+        m = self.m_eff[lvl]
+        Jp = self.J_pad[lvl]
+        t_blocks = self.t_pad[lvl][:Jp * m].reshape(Jp, m)
+        return jnp.asarray(t_blocks)
 
     def _build_state(self, nested):
         state = {}
@@ -201,20 +238,27 @@ class ShardedMgrit:
     def _is_first_shard(self):
         return jax.lax.axis_index("time") == 0
 
+    def _select_global(self, blocks_view, lvl, j_global):
+        """Value at global block index j_global (static), broadcast to every
+        shard via a masked psum — one tiny collective."""
+        loc = j_global % self.Jloc[lvl]
+        owner = j_global // self.Jloc[lvl]
+        is_owner = jax.lax.axis_index("time") == owner
+        val = jax.tree_util.tree_map(lambda x: x[loc], blocks_view)
+        masked = jax.tree_util.tree_map(
+            lambda x: jnp.where(is_owner, x, jnp.zeros_like(x)), val)
+        return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, "time"), masked)
+
     def _f_relax_sm(self, lvl, u):
         """Local: scan each block from its own C-point."""
-        li = self.levels[lvl]
-        m = li.m
-        t_blocks, _ = self._level_times(lvl)
-        Jl = None  # inferred from leaves
+        m = self.m_eff[lvl]
+        t_blocks = self._level_times(lvl)
         vstep = self._vstep(lvl)
         blocks = u["blocks"]
-        # local t slab: use axis_index to slice the global (J, m) times
+        # local t slab: use axis_index to slice the global (J_pad, m) times
         idx = jax.lax.axis_index("time")
-        J = t_blocks.shape[0]
-        Jloc = J // self.n_shards
+        Jloc = self.Jloc[lvl]
         t_loc = jax.lax.dynamic_slice_in_dim(t_blocks, idx * Jloc, Jloc, 0)  # (Jloc, m)
-        t_last, _ = self._level_times(lvl)
 
         x = jax.tree_util.tree_map(lambda b: b[:, 0], blocks)
 
@@ -243,13 +287,13 @@ class ShardedMgrit:
         return {**u, "blocks": new_blocks}
 
     def _block_c_times(self, lvl):
-        """(J,) times of each block's C-point and of the preceding F-point."""
-        li = self.levels[lvl]
-        m = li.m
-        J = (li.nt - 1) // m
-        t = li.t
-        tc = jnp.asarray(t[np.arange(J) * m])            # C time of block j
-        tprev = jnp.asarray(t[np.arange(1, J + 1) * m - 1])  # last F of block j
+        """(J_pad,) times of each block's C-point and of the preceding
+        F-point (phantom blocks carry the linearly-extended times)."""
+        m = self.m_eff[lvl]
+        Jp = self.J_pad[lvl]
+        t = self.t_pad[lvl]
+        tc = jnp.asarray(t[np.arange(Jp) * m])               # C time of block j
+        tprev = jnp.asarray(t[np.arange(1, Jp + 1) * m - 1])  # last F of block j
         return tc, tprev
 
     def _local_slice(self, arr, Jloc):
@@ -257,10 +301,7 @@ class ShardedMgrit:
         return jax.lax.dynamic_slice_in_dim(arr, idx * Jloc, Jloc, 0)
 
     def _c_relax_sm(self, lvl, u):
-        li = self.levels[lvl]
-        m = li.m
-        J = (li.nt - 1) // m
-        Jloc = J // self.n_shards
+        Jloc = self.Jloc[lvl]
         tc_all, tprevf_all = self._block_c_times(lvl)
         # C of block j (j>=1) updates from block j-1's last F over
         # [tprevf[j-1], tc[j]]
@@ -287,7 +328,8 @@ class ShardedMgrit:
         # update 'last' (global final C-point) from the global last F-point
         t_lvl = self.levels[lvl].t
         stepped_last = self.step_fns[lvl](
-            self._global_last_f(u["blocks"]), jnp.asarray(t_lvl[-2]), jnp.asarray(t_lvl[-1]))
+            self._global_last_f(u["blocks"], lvl),
+            jnp.asarray(t_lvl[-2]), jnp.asarray(t_lvl[-1]))
         if lvl > 0:
             stepped_last = vector.add(u["g_last"], stepped_last)
         if self.weight_c != 1.0:
@@ -296,25 +338,18 @@ class ShardedMgrit:
         out["last"] = stepped_last
         return out
 
-    def _global_last_f(self, blocks):
-        """The globally last F-point (last shard's last block's last entry),
-        broadcast to every shard via psum of a masked value."""
-        is_last = jax.lax.axis_index("time") == self.n_shards - 1
-        val = jax.tree_util.tree_map(lambda b: b[-1, -1], blocks)
-        masked = jax.tree_util.tree_map(
-            lambda x: jnp.where(is_last, x, jnp.zeros_like(x)), val)
-        return jax.tree_util.tree_map(
-            lambda x: jax.lax.psum(x, "time"), masked)
+    def _global_last_f(self, blocks, lvl):
+        """The globally last *real* F-point (last real block's last entry),
+        broadcast to every shard."""
+        lastf = jax.tree_util.tree_map(lambda b: b[:, -1], blocks)
+        return self._select_global(lastf, lvl, self.J_real[lvl] - 1)
 
     def _fas_sm(self, lvl, u, u_c):
         """Restriction + FAS rhs into the coarse entry; spatial transfer
         operators are applied leafwise (shard-local)."""
         li = self.levels[lvl]
-        m = li.m
-        J = (li.nt - 1) // m
-        Jloc = J // self.n_shards
-        li_c = self.levels[lvl + 1]
-        m_c = li_c.m if lvl + 1 < self.lvl_max - 1 else 1
+        Jloc = self.Jloc[lvl]
+        m_c = self.m_eff[lvl + 1]
         # fine C-points -> restricted coarse flat points (local)
         fine_c = jax.tree_util.tree_map(lambda b: b[:, 0], u["blocks"])  # (Jloc,)
         vrestrict = jax.vmap(self.restrict_fns[lvl])
@@ -349,10 +384,12 @@ class ShardedMgrit:
             lambda x: jax.lax.ppermute(x[-1:], "time", perm), v_flat)
         v_prev = jax.tree_util.tree_map(lambda s, fl: s.at[0:1].set(fl),
                                         v_prev, from_left)
-        t_coarse = self.levels[lvl + 1].t
-        Jc = len(t_coarse) - 1
-        tcp = self._local_slice(jnp.asarray(np.concatenate([[t_coarse[0]], t_coarse[:-2]])), Jloc)
-        tcc = self._local_slice(jnp.asarray(t_coarse[:-1]), Jloc)
+        # padded coarse point times: flat coarse point j has time t_pad[lvl+1][j]
+        t_cpad = self.t_pad[lvl + 1]
+        Jp = self.J_pad[lvl]
+        tcp = self._local_slice(
+            jnp.asarray(np.concatenate([t_cpad[0:1], t_cpad[:Jp - 1]])), Jloc)
+        tcc = self._local_slice(jnp.asarray(t_cpad[:Jp]), Jloc)
         stepped_c = self._vstep(lvl + 1)(v_prev, tcp, tcc)
         g_flat = vector.add(inner, vector.sub(v_flat, stepped_c))
         # global coarse point 0 keeps g = 0 (never used)
@@ -365,14 +402,15 @@ class ShardedMgrit:
             lambda x: x.reshape((Jloc // m_c, m_c) + x.shape[1:]), g_flat)
 
         # g_last: for the global last coarse point
-        last_innerf = self.step_fns[lvl](self._global_last_f(u["blocks"]),
+        t_coarse = self.levels[lvl + 1].t
+        last_innerf = self.step_fns[lvl](self._global_last_f(u["blocks"], lvl),
                                          jnp.asarray(li.t[-2]), jnp.asarray(li.t[-1]))
         if lvl == 0:
             inner_last = vector.sub(last_innerf, u["last"])
         else:
             inner_last = vector.add(vector.sub(u["g_last"], u["last"]), last_innerf)
         inner_last = self.restrict_fns[lvl](inner_last)
-        v_prev_last = self._global_last_c_prev(v_flat)
+        v_prev_last = self._select_global(v_flat, lvl, self.J_real[lvl] - 1)
         stepped_cl = self.step_fns[lvl + 1](v_prev_last, jnp.asarray(t_coarse[-2]),
                                             jnp.asarray(t_coarse[-1]))
         g_last = vector.add(inner_last, vector.sub(v_last, stepped_cl))
@@ -381,17 +419,7 @@ class ShardedMgrit:
                 "v_blocks": v_blocks, "v_last": v_last,
                 "g_blocks": g_blocks, "g_last": g_last}
 
-    def _global_last_c_prev(self, v_flat):
-        """Globally last coarse point's predecessor (= last shard's last
-        local coarse point), broadcast."""
-        is_last = jax.lax.axis_index("time") == self.n_shards - 1
-        val = jax.tree_util.tree_map(lambda x: x[-1], v_flat)
-        masked = jax.tree_util.tree_map(
-            lambda x: jnp.where(is_last, x, jnp.zeros_like(x)), val)
-        return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, "time"), masked)
-
     def _error_correction_sm(self, lvl, u, u_c):
-        li_c1 = lvl + 1 < self.lvl_max - 1
         e_blocks = vector.sub(u_c["blocks"], u_c["v_blocks"])
         e_flat = jax.tree_util.tree_map(
             lambda x: x.reshape((-1,) + x.shape[2:]), e_blocks)  # (Jloc,)
@@ -409,9 +437,15 @@ class ShardedMgrit:
         return {**u, "blocks": new_blocks, "last": new_last}
 
     def _coarsest_solve_sm(self, u):
-        """Redundant sequential solve on every shard after one all_gather."""
+        """Redundant sequential solve on every shard after one all_gather.
+
+        Points 0..J_real-1 live in ``blocks`` (flat, m=1); the real final
+        point nt-1 (= J_real) lives in ``last``.  The scan runs over the
+        padded length; phantom steps trail the real points and their
+        results are never read back.
+        """
         lvl = self.lvl_max - 1
-        li = self.levels[lvl]
+        J_real, Jp, Jloc = self.J_real[lvl], self.J_pad[lvl], self.Jloc[lvl]
         g_all = jax.tree_util.tree_map(
             lambda x: jax.lax.all_gather(x, "time", tiled=True), u["g_blocks"])
         u0_local = jax.tree_util.tree_map(lambda b: b[0, 0], u["blocks"])
@@ -421,12 +455,13 @@ class ShardedMgrit:
             lambda x: jax.lax.psum(jnp.where(is_first, x, jnp.zeros_like(x)), "time"),
             u0_local)
         g_flat = jax.tree_util.tree_map(
-            lambda x: x.reshape((-1,) + x.shape[2:]), g_all)     # points 0..nt-2
-        # step i produces point i+1 and needs g[i+1]: points 1..nt-1
+            lambda x: x.reshape((-1,) + x.shape[2:]), g_all)     # (J_pad,)
+        # step k produces point k+1 and needs g at point k+1; the step that
+        # produces the real final point (k = J_real-1) takes g_last.
         g_seq = jax.tree_util.tree_map(
-            lambda gf, gl: jnp.concatenate([gf[1:], gl[None]], axis=0),
-            g_flat, u["g_last"])
-        t = jnp.asarray(li.t)
+            lambda gf, gl: jnp.concatenate([gf[1:], gl[None]], axis=0)
+            .at[J_real - 1].set(gl), g_flat, u["g_last"])
+        t = jnp.asarray(self.t_pad[lvl])
         step = self.step_fns[lvl]
 
         def body(carry, inp):
@@ -435,15 +470,14 @@ class ShardedMgrit:
             return nxt, nxt
 
         _, rest = jax.lax.scan(body, u0, (t[:-1], t[1:], g_seq))
-        # rest: (nt-1,) = points 1..nt-1; full = [u0] + rest
+        # rest: (J_pad,) = points 1..J_pad; blocks hold points 0..J_pad-1
         full = jax.tree_util.tree_map(
             lambda r, z: jnp.concatenate([z[None], r[:-1]], axis=0), rest, u0)
-        Jloc = (li.nt - 1) // self.n_shards
         local = jax.tree_util.tree_map(
             lambda x: self._local_slice(x, Jloc), full)
         new_blocks = jax.tree_util.tree_map(
             lambda x: x.reshape((Jloc, 1) + x.shape[1:]), local)
-        new_last = jax.tree_util.tree_map(lambda r: r[-1], rest)
+        new_last = jax.tree_util.tree_map(lambda r: r[J_real - 1], rest)
         return {**u, "blocks": new_blocks, "last": new_last}
 
     # ------------------------------------------------------------------
@@ -509,9 +543,7 @@ class ShardedMgrit:
         inside any shard_map body."""
         u = st[0]
         li = self.levels[0]
-        m = li.m
-        J = (li.nt - 1) // m
-        Jloc = J // self.n_shards
+        Jloc = self.Jloc[0]
         tc_all, tprevf_all = self._block_c_times(0)
         tp = self._local_slice(jnp.concatenate([tprevf_all[:1], tprevf_all[:-1]]), Jloc)
         tcu = self._local_slice(tc_all, Jloc)
@@ -520,11 +552,14 @@ class ShardedMgrit:
         c_now = jax.tree_util.tree_map(lambda b: b[:, 0], u["blocks"])
         r = vector.sub(stepped, c_now)
         norms = jax.vmap(self.state_norm)(r)
-        # global block 0 (the IC) is not a residual point
+        # mask: global block 0 (the IC) is not a residual point, and phantom
+        # blocks (global index >= J_real) contribute nothing
+        gidx = jax.lax.axis_index("time") * Jloc + jnp.arange(Jloc)
         keep0 = self._is_first_shard()
-        norms = jnp.where((jnp.arange(norms.shape[0]) == 0) & keep0, 0.0, norms)
+        norms = jnp.where(((jnp.arange(norms.shape[0]) == 0) & keep0)
+                          | (gidx >= self.J_real[0]), 0.0, norms)
         # plus the global last point
-        lastf = self._global_last_f(u["blocks"])
+        lastf = self._global_last_f(u["blocks"], 0)
         stepped_last = self.step_fns[0](lastf, jnp.asarray(li.t[-2]),
                                         jnp.asarray(li.t[-1]))
         r_last = vector.sub(stepped_last, u["last"])
@@ -612,7 +647,7 @@ class ShardedMgrit:
     def fine_solution(self):
         """Gather the fine-level solution as a (nt, ...) tube."""
         u = self.state[0]
-        return self._unblockify(u["blocks"], u["last"])
+        return self._unblockify(u["blocks"], u["last"], 0)
 
 
 class ShardedAtMgrit(ShardedMgrit):
@@ -631,24 +666,24 @@ class ShardedAtMgrit(ShardedMgrit):
         nt = li.nt
         k = self.k
         t = jnp.asarray(li.t)
-        Jloc = (nt - 1) // self.n_shards
+        J_real, Jloc = self.J_real[lvl], self.Jloc[lvl]
         step = self.step_fns[lvl]
 
-        # snapshot of the full coarsest grid (points 0..nt-1), replicated
-        u_full = jax.tree_util.tree_map(
-            lambda x, l: jnp.concatenate(
-                [jax.lax.all_gather(x, "time", tiled=True)
-                 .reshape((-1,) + x.shape[2:]), l[None]], axis=0),
-            u["blocks"], u["last"])
-        g_full = jax.tree_util.tree_map(
-            lambda x, l: jnp.concatenate(
-                [jax.lax.all_gather(x, "time", tiled=True)
-                 .reshape((-1,) + x.shape[2:]), l[None]], axis=0),
-            u["g_blocks"], u["g_last"])
+        # snapshot of the full real coarsest grid (points 0..nt-1): gather
+        # the padded flat blocks, statically slice off the phantom tail,
+        # append the real final point.
+        def _full(bl, l):
+            flat = jax.lax.all_gather(bl, "time", tiled=True)
+            flat = flat.reshape((-1,) + bl.shape[2:])[:J_real]
+            return jnp.concatenate([flat, l[None]], axis=0)
+
+        u_full = jax.tree_util.tree_map(_full, u["blocks"], u["last"])
+        g_full = jax.tree_util.tree_map(_full, u["g_blocks"], u["g_last"])
 
         idx = jax.lax.axis_index("time")
         pts = idx * Jloc + jnp.arange(Jloc)                     # local points
         pts = jnp.concatenate([pts, jnp.array([nt - 1])])       # + global last
+        pts = jnp.minimum(pts, nt - 1)   # phantom lanes recompute the last point
         ws = jnp.maximum(0, pts - k + 1)
         x = jax.tree_util.tree_map(lambda f: f[ws], u_full)
 

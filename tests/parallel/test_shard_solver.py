@@ -73,11 +73,54 @@ def test_weighted_and_norms():
         np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15, err_msg=str(kw))
 
 
-def test_validation():
+def test_validation_non_uniform():
     mesh = make_time_space_mesh(n_time=8, n_space=1)
+    t = np.linspace(0, 5, 101)
+    fine = Dahlquist(t_interval=t)
+    coarse = Dahlquist(t_interval=t[np.array([0, 1, 3, 7, 30, 60, 100])])
     with pytest.raises(Exception):
-        # 101 points -> J=50 not divisible by 8
-        ShardedMgrit(problem=_dahlquist((101, 51)), mesh=mesh)
+        ShardedMgrit(problem=[fine, coarse], mesh=mesh)
+
+
+def test_padded_nondivisible_matches_serial():
+    """J=50 intervals over 8 shards (non-divisible): phantom-interval padding
+    must reproduce the serial history exactly — the README nt=101 config."""
+    serial = Mgrit(problem=_dahlquist((101, 51)), tol=1e-10, logging_lvl=30)
+    base = serial.solve()['conv']
+
+    mesh = make_time_space_mesh(n_time=8, n_space=1)
+    sm = ShardedMgrit(problem=_dahlquist((101, 51)), mesh=mesh, tol=1e-10,
+                      logging_lvl=30)
+    conv = sm.solve()['conv']
+    assert len(conv) == len(base)
+    np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15)
+
+    u_serial = np.asarray(serial.u[0])
+    u_sm = np.asarray(sm.fine_solution())
+    np.testing.assert_allclose(u_sm, u_serial, atol=1e-12)
+
+
+def test_padded_three_level_matches_serial():
+    """3-level with padding on every level: nt=101/51/26 over 8 shards
+    (J0=50, J1=25, coarsest 25 points — none divisible by 8)."""
+    nts = (101, 51, 26)
+    kw = dict(tol=1e-10, logging_lvl=30)
+    base = Mgrit(problem=_dahlquist(nts), **kw).solve()['conv']
+    mesh = make_time_space_mesh(n_time=8, n_space=1)
+    conv = ShardedMgrit(problem=_dahlquist(nts), mesh=mesh, **kw).solve()['conv']
+    assert len(conv) == len(base)
+    np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15)
+
+
+def test_padded_fcycle_weighted_matches_serial():
+    """Padding composed with F-cycles, cf_iter=2 and weighted C-relax."""
+    nts = (81, 41, 21)
+    kw = dict(tol=1e-10, cycle_type='F', cf_iter=2, weight_c=1.3, logging_lvl=30)
+    base = Mgrit(problem=_dahlquist(nts), **kw).solve()['conv']
+    mesh = make_time_space_mesh(n_time=8, n_space=1)
+    conv = ShardedMgrit(problem=_dahlquist(nts), mesh=mesh, **kw).solve()['conv']
+    assert len(conv) == len(base)
+    np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15)
 
 
 def test_spatial_coarsening_matches_serial():
@@ -158,4 +201,19 @@ def test_sharded_at_mgrit_vector_state():
     mesh = make_time_space_mesh(n_time=4, n_space=1)
     conv = ShardedAtMgrit(k=4, problem=build(), mesh=mesh, **kw).solve()['conv']
     assert len(conv) == len(base)
+    np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15)
+
+
+def test_sharded_at_mgrit_padded():
+    """AT-MGRIT truncated coarsest solve composed with phantom-interval
+    padding (nt=101/26: J=25 windows over 8 shards, non-divisible)."""
+    from pymgrit_tpu import AtMgrit
+    from pymgrit_tpu.parallel.shard_solver import ShardedAtMgrit
+
+    kw = dict(tol=1e-9, max_iter=15, logging_lvl=30)
+    base = AtMgrit(k=5, problem=_dahlquist((101, 26)), **kw).solve()['conv']
+    mesh = make_time_space_mesh(n_time=8, n_space=1)
+    conv = ShardedAtMgrit(k=5, problem=_dahlquist((101, 26)), mesh=mesh,
+                          **kw).solve()['conv']
+    assert len(conv) == len(base), (conv, base)
     np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15)
