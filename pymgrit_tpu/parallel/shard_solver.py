@@ -73,12 +73,15 @@ class ShardedMgrit:
                  tol: float = 1e-7, max_iter: int = 100,
                  nested_iteration: bool = True, cf_iter=1,
                  cycle_type: str = 'V', weight_c: float = 1.0,
-                 t_norm: int = 2, logging_lvl: int = logging.INFO):
+                 t_norm: int = 2, conv_crit: int = 0,
+                 logging_lvl: int = logging.INFO):
         import sys
         logging.basicConfig(format='%(levelname)s - %(asctime)s - %(message)s',
                             datefmt='%d-%m-%y %H:%M:%S', level=logging_lvl,
                             stream=sys.stdout)
         validate_hierarchy([p.t for p in problem])
+        if conv_crit not in (0, 1, 2, 3):
+            raise Exception("Convergence criterion must be 0, 1, 2 or 3")
         self.problem = problem
         self.mesh = mesh
         self.n_shards = mesh.shape["time"]
@@ -87,6 +90,11 @@ class ShardedMgrit:
         self.cycle_type = cycle_type
         self.weight_c = weight_c
         self.t_norm = t_norm
+        # 0/1: global residual/jump norm < tol; 2/3: every local point's
+        # residual/jump norm < tol (the reference's per-rank handshake
+        # protocol, mgrit.py:434-455, collapses into a reduced all())
+        self.conv_crit = conv_crit
+        self.global_conv_crit = conv_crit in (0, 1)
         self.lvl_max = len(problem)
         self.cf_iter = [cf_iter] * self.lvl_max if isinstance(cf_iter, int) else list(cf_iter)
         self.levels = build_level_infos([p.t for p in problem])
@@ -201,6 +209,20 @@ class ShardedMgrit:
         self._jit_nested = jax.jit(self._nested_sm)
         if nested:
             self.state = self._jit_nested(self.state)
+        # Jump criteria compare against the previous iterate's C-points;
+        # seed with the post-setup values (reference mgrit.py / solver.py:195).
+        self._u_save = self._c_view(self.state[0])
+        self._usave_specs = {
+            "c": jax.tree_util.tree_map(
+                lambda x: P("time", *([None] * (x.ndim - 1))), self._u_save["c"]),
+            "last": jax.tree_util.tree_map(lambda x: P(), self._u_save["last"]),
+        }
+
+    @staticmethod
+    def _c_view(entry):
+        """C-point values of a level entry: sharded block heads + last."""
+        return {"c": jax.tree_util.tree_map(lambda b: b[:, 0], entry["blocks"]),
+                "last": entry["last"]}
 
     def _state_specs(self):
         specs = {}
@@ -538,32 +560,41 @@ class ShardedMgrit:
 
         return self._sm(body)(state)
 
-    def _conv_body(self, st):
-        """Residual norm (shard-local compute + psum/pmax reduce); callable
-        inside any shard_map body."""
+    def _conv_body(self, st, u_save):
+        """Convergence measure (shard-local compute + psum/pmax reduce);
+        callable inside any shard_map body.  Returns (conv, all_below,
+        new_u_save): conv is the t_norm aggregate, all_below is the local
+        criteria's every-point-below-tol flag, new_u_save the C-points to
+        compare against next iteration (jump criteria)."""
         u = st[0]
         li = self.levels[0]
         Jloc = self.Jloc[0]
-        tc_all, tprevf_all = self._block_c_times(0)
-        tp = self._local_slice(jnp.concatenate([tprevf_all[:1], tprevf_all[:-1]]), Jloc)
-        tcu = self._local_slice(tc_all, Jloc)
-        prev_f = self._halo_prev_f(u["blocks"], 0)
-        stepped = self._vstep(0)(prev_f, tp, tcu)
         c_now = jax.tree_util.tree_map(lambda b: b[:, 0], u["blocks"])
-        r = vector.sub(stepped, c_now)
-        norms = jax.vmap(self.state_norm)(r)
+        if self.conv_crit in (0, 2):
+            # residual: || Phi(u_{prevF}) - u_C || per C-point
+            tc_all, tprevf_all = self._block_c_times(0)
+            tp = self._local_slice(
+                jnp.concatenate([tprevf_all[:1], tprevf_all[:-1]]), Jloc)
+            tcu = self._local_slice(tc_all, Jloc)
+            prev_f = self._halo_prev_f(u["blocks"], 0)
+            stepped = self._vstep(0)(prev_f, tp, tcu)
+            r = vector.sub(stepped, c_now)
+            norms = jax.vmap(self.state_norm)(r)
+            lastf = self._global_last_f(u["blocks"], 0)
+            stepped_last = self.step_fns[0](lastf, jnp.asarray(li.t[-2]),
+                                            jnp.asarray(li.t[-1]))
+            n_last = self.state_norm(vector.sub(stepped_last, u["last"]))
+        else:
+            # jump: || u_C - u_C_prev_iter || per C-point
+            # (reference compute_jump, mgrit.py:372-385)
+            norms = jax.vmap(self.state_norm)(vector.sub(c_now, u_save["c"]))
+            n_last = self.state_norm(vector.sub(u["last"], u_save["last"]))
         # mask: global block 0 (the IC) is not a residual point, and phantom
         # blocks (global index >= J_real) contribute nothing
         gidx = jax.lax.axis_index("time") * Jloc + jnp.arange(Jloc)
         keep0 = self._is_first_shard()
         norms = jnp.where(((jnp.arange(norms.shape[0]) == 0) & keep0)
                           | (gidx >= self.J_real[0]), 0.0, norms)
-        # plus the global last point
-        lastf = self._global_last_f(u["blocks"], 0)
-        stepped_last = self.step_fns[0](lastf, jnp.asarray(li.t[-2]),
-                                        jnp.asarray(li.t[-1]))
-        r_last = vector.sub(stepped_last, u["last"])
-        n_last = self.state_norm(r_last)
         if self.t_norm == 2:
             total = jax.lax.psum(jnp.sum(norms ** 2), "time")
             conv = jnp.sqrt(total + n_last ** 2)
@@ -571,11 +602,15 @@ class ShardedMgrit:
             conv = jax.lax.psum(jnp.sum(norms), "time") + n_last
         else:
             conv = jnp.maximum(jax.lax.pmax(jnp.max(norms), "time"), n_last)
-        return conv
+        worst = jnp.maximum(jax.lax.pmax(jnp.max(norms), "time"), n_last)
+        all_below = worst < self.tol
+        return conv, all_below, {"c": c_now, "last": u["last"]}
 
-    def _conv_sm(self, state):
-        return shard_map(self._conv_body, mesh=self.mesh, in_specs=(self._specs,),
-                         out_specs=P(), check_vma=False)(state)
+    def _conv_sm(self, state, u_save):
+        return shard_map(self._conv_body, mesh=self.mesh,
+                         in_specs=(self._specs, self._usave_specs),
+                         out_specs=(P(), P(), self._usave_specs),
+                         check_vma=False)(state, u_save)
 
     # ------------------------------------------------------------------
 
@@ -584,7 +619,7 @@ class ShardedMgrit:
         halos, cycles, and the convergence check all run on device with no
         host round trips (the sharded analogue of Mgrit.solve_compiled)."""
         if not hasattr(self, "_jit_solve_loop"):
-            def loop(state):
+            def loop(state, u_save):
                 def body_fn(st):
                     st2 = dict(st)
                     self._cycle_sm(0, st2, self.cycle_type, True, False)
@@ -595,32 +630,34 @@ class ShardedMgrit:
                     self._cycle_sm(0, st2, self.cycle_type, True, True)
                     return st2
 
-                def conv_of(st):
-                    return self._conv_body(st)
-
                 def cond(carry):
-                    it, hist, st, done = carry
+                    it, hist, st, usv, done = carry
                     return jnp.logical_and(it < self.iter_max,
                                            jnp.logical_not(done))
 
                 def body(carry):
-                    it, hist, st, done = carry
+                    it, hist, st, usv, done = carry
                     st = jax.lax.cond(it == 0, body_first, body_fn, st)
-                    conv = conv_of(st)
+                    conv, all_below, usv = self._conv_body(st, usv)
                     hist = hist.at[it].set(conv)
-                    return (it + 1, hist, st, conv < self.tol)
+                    done = jnp.where(self.global_conv_crit, conv < self.tol,
+                                     all_below)
+                    return (it + 1, hist, st, usv, done)
 
                 hist0 = jnp.zeros(self.iter_max, dtype=jnp.result_type(0.0))
-                it, hist, st, done = jax.lax.while_loop(
-                    cond, body, (jnp.array(0), hist0, state, jnp.array(False)))
-                return it, hist, st
+                it, hist, st, usv, done = jax.lax.while_loop(
+                    cond, body,
+                    (jnp.array(0), hist0, state, u_save, jnp.array(False)))
+                return it, hist, st, usv
 
             self._jit_solve_loop = jax.jit(shard_map(
-                loop, mesh=self.mesh, in_specs=(self._specs,),
-                out_specs=(P(), P(), self._specs), check_vma=False))
+                loop, mesh=self.mesh, in_specs=(self._specs, self._usave_specs),
+                out_specs=(P(), P(), self._specs, self._usave_specs),
+                check_vma=False))
 
         t0 = time.time()
-        it, hist, self.state = self._jit_solve_loop(self.state)
+        it, hist, self.state, self._u_save = self._jit_solve_loop(
+            self.state, self._u_save)
         it = int(it)
         hist = np.asarray(hist)
         self.conv = np.zeros(self.iter_max + 1)
@@ -635,10 +672,12 @@ class ShardedMgrit:
         t0 = time.time()
         for it in range(self.iter_max):
             self.state = self._jit_iter(self.state, first=(it == 0))
-            conv = float(self._jit_conv(self.state))
+            conv, all_below, self._u_save = self._jit_conv(self.state,
+                                                           self._u_save)
+            conv = float(conv)
             self.conv[it + 1] = conv
             logging.info(f"sharded iter {it + 1} | conv: {conv}")
-            if conv < self.tol:
+            if (conv < self.tol) if self.global_conv_crit else bool(all_below):
                 break
         self.runtime_solve = time.time() - t0
         return {'conv': self.conv[np.where(self.conv != 0)],

@@ -217,3 +217,33 @@ def test_sharded_at_mgrit_padded():
                           **kw).solve()['conv']
     assert len(conv) == len(base), (conv, base)
     np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15)
+
+
+def test_conv_criteria_match_serial():
+    """conv_crit 1 (global jump), 2 (local residual), 3 (local jump) in the
+    sharded executor reproduce the general solver's histories and stopping
+    points (the reference's per-rank handshake protocol collapses into a
+    reduced all())."""
+    nts = (129, 33)
+    mesh = make_time_space_mesh(n_time=4, n_space=1)
+    for crit in (1, 2, 3):
+        kw = dict(tol=1e-8, conv_crit=crit, logging_lvl=30)
+        base = Mgrit(problem=_dahlquist(nts), **kw).solve()['conv']
+        conv = ShardedMgrit(problem=_dahlquist(nts), mesh=mesh, **kw).solve()['conv']
+        assert len(conv) == len(base), (crit, conv, base)
+        np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15,
+                                   err_msg=f"conv_crit={crit}")
+
+
+def test_conv_criteria_compiled_loop():
+    """The device-resident sharded loop honors jump/local criteria too."""
+    nts = (101, 51)   # non-divisible: padding composed with criteria
+    mesh = make_time_space_mesh(n_time=8, n_space=1)
+    for crit in (1, 3):
+        kw = dict(tol=1e-8, conv_crit=crit, logging_lvl=30)
+        base = Mgrit(problem=_dahlquist(nts), **kw).solve()['conv']
+        conv = ShardedMgrit(problem=_dahlquist(nts), mesh=mesh,
+                            **kw).solve_compiled()['conv']
+        assert len(conv) == len(base), (crit, conv, base)
+        np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15,
+                                   err_msg=f"conv_crit={crit}")
