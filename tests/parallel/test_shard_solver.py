@@ -247,3 +247,23 @@ def test_conv_criteria_compiled_loop():
         assert len(conv) == len(base), (crit, conv, base)
         np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15,
                                    err_msg=f"conv_crit={crit}")
+
+
+def test_nonuniform_dt_matches_serial():
+    """Stretched (geometric) time grid with uniform coarsening: the padded
+    block times are taken from the real grid per block, so arbitrary dt
+    profiles shard exactly (the reference supports any nested t_interval,
+    mgrit.py:93-96)."""
+    t = np.geomspace(1, 6, 65) - 1.0
+    def build():
+        return [Dahlquist(t_interval=t), Dahlquist(t_interval=t[::2]),
+                Dahlquist(t_interval=t[::4])]
+    base_solver = Mgrit(problem=build(), tol=1e-10, logging_lvl=30)
+    base = base_solver.solve()['conv']
+    mesh = make_time_space_mesh(n_time=8, n_space=1)
+    sm = ShardedMgrit(problem=build(), mesh=mesh, tol=1e-10, logging_lvl=30)
+    conv = sm.solve()['conv']
+    assert len(conv) == len(base)
+    np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(sm.fine_solution()),
+                               np.asarray(base_solver.u[0])[:65], atol=1e-12)
