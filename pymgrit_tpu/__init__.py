@@ -22,6 +22,13 @@ import jax
 if not os.environ.get("PYMGRIT_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# Honor JAX_PLATFORMS even when a site hook has already pinned a platform
+# config (standard JAX reads the env var once; some containers pin e.g. a
+# TPU plugin in sitecustomize, which would silently ignore a user's
+# JAX_PLATFORMS=cpu).  No-op in normal environments.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 # TPU matmuls default to bf16 passes (precision=DEFAULT), which destroys the
 # spectral implicit solves (relative error ~1e-2 -> MGRIT stalls).  MGRIT's
 # algebra needs full input precision; 'highest' is a no-op on CPU and uses

@@ -1,0 +1,131 @@
+"""Cross-validation battery 2: more solver surfaces vs the live reference.
+
+Extends tests/core/test_cross_validation.py with the remaining user-facing
+configurations: local convergence criteria (conv_crit 2/3 — the reference's
+rank-handshake protocol, mgrit.py:434-455), the multi-step BDF2/BDF1
+pair-state hierarchy (reference examples/example_heat_1d_bdf2.py:66-77),
+the nonlinear Allen-Cahn problem (reference allen_cahn/allen_cahn.py), and
+AT-MGRIT over a k-sweep (reference core/at_mgrit.py)."""
+
+import os
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(REPO, "tools", "mpi4py_stub"))
+sys.path.insert(0, "/root/reference/src")
+
+
+def _compare(ref_conv, our_conv, rtol=1e-6, atol=1e-12):
+    n = min(len(ref_conv), len(our_conv))
+    assert abs(len(ref_conv) - len(our_conv)) <= 1, (ref_conv, our_conv)
+    np.testing.assert_allclose(our_conv[:n], ref_conv[:n], rtol=rtol, atol=atol)
+
+
+@pytest.mark.parametrize("conv_crit", [2, 3])
+def test_local_criteria_match_reference(conv_crit):
+    """conv_crit 2/3: the reference stops when every rank's local points are
+    below tol; serial = every point.  Histories must agree point-for-point."""
+    from pymgrit.core.mgrit import Mgrit as RefMgrit
+    from pymgrit.heat.heat_1d import Heat1D as RefHeat1D
+    from pymgrit_tpu import Mgrit, Heat1D
+
+    def rhs_np(x, t):
+        return -np.sin(np.pi * x) * (np.sin(t) - np.pi ** 2 * np.cos(t))
+
+    def rhs_j(x, t):
+        return -jnp.sin(jnp.pi * x) * (jnp.sin(t) - jnp.pi ** 2 * jnp.cos(t))
+
+    def ic(x):
+        return np.sin(np.pi * x)
+
+    kw = dict(tol=1e-7, max_iter=10, logging_lvl=30, conv_crit=conv_crit)
+    ref = RefMgrit(problem=[RefHeat1D(x_start=0, x_end=1, nx=33, a=1, rhs=rhs_np,
+                                      init_cond=ic, t_start=0, t_stop=2, nt=nt)
+                            for nt in (65, 17, 5)], **kw)
+    ours = Mgrit(problem=[Heat1D(x_start=0, x_end=1, nx=33, a=1, rhs=rhs_j,
+                                 init_cond=ic, t_start=0, t_stop=2, nt=nt)
+                          for nt in (65, 17, 5)], **kw)
+    _compare(ref.solve()['conv'], ours.solve()['conv'])
+
+
+def test_bdf2_hierarchy_matches_reference():
+    """Three-level BDF2/BDF1/BDF1 pair-state hierarchy — different
+    Application classes per level (reference example_heat_1d_bdf2.py:66-77,
+    the documented advanced-usage pattern)."""
+    from pymgrit.core.mgrit import Mgrit as RefMgrit
+    from pymgrit.heat.heat_1d_2pts_bdf1 import Heat1DBDF1 as RefBDF1
+    from pymgrit.heat.heat_1d_2pts_bdf2 import Heat1DBDF2 as RefBDF2
+    from pymgrit_tpu import Mgrit, Heat1DBDF1, Heat1DBDF2
+
+    nt = 64
+    dtau = 2.0 / nt
+    t_interval = np.linspace(0, 2, nt // 2 + 1)
+
+    def rhs_np(x, t):
+        return -np.sin(np.pi * x) * (np.sin(t) - np.pi ** 2 * np.cos(t))
+
+    def rhs_j(x, t):
+        return -jnp.sin(jnp.pi * x) * (jnp.sin(t) - jnp.pi ** 2 * jnp.cos(t))
+
+    def ic(x):
+        return np.sin(np.pi * x)
+
+    def build(bdf2, bdf1, rhs):
+        h0 = bdf2(x_start=0, x_end=1, nx=65, a=1, dtau=dtau, rhs=rhs,
+                  init_cond=ic, t_interval=t_interval)
+        h1 = bdf1(x_start=0, x_end=1, nx=65, a=1, dtau=dtau, rhs=rhs,
+                  init_cond=ic, t_interval=h0.t[::2])
+        h2 = bdf1(x_start=0, x_end=1, nx=65, a=1, dtau=dtau, rhs=rhs,
+                  init_cond=ic, t_interval=h1.t[::2])
+        return [h0, h1, h2]
+
+    kw = dict(tol=1e-9, max_iter=10, logging_lvl=30)
+    ref = RefMgrit(problem=build(RefBDF2, RefBDF1, rhs_np), **kw)
+    ours = Mgrit(problem=build(Heat1DBDF2, Heat1DBDF1, rhs_j), **kw)
+    _compare(ref.solve()['conv'], ours.solve()['conv'], rtol=1e-5)
+
+
+@pytest.mark.parametrize("method", ["IMEX", "CN"])
+def test_allen_cahn_matches_reference(method):
+    """Nonlinear 2D Allen-Cahn, two-level (the BASELINE space-time config's
+    problem, reference allen_cahn/allen_cahn.py:145-260).
+
+    CN runs a shorter horizon: at dt=0.25 the undamped half-explicit
+    reaction term (1/eps^2 = 625) makes CN itself diverge — in the
+    reference too (its history stalls at ~63.9) — so that config pins
+    nothing useful."""
+    from pymgrit.core.mgrit import Mgrit as RefMgrit
+    from pymgrit.allen_cahn.allen_cahn import AllenCahn as RefAC
+    from pymgrit_tpu import Mgrit, AllenCahn
+
+    t_stop = 4 if method == "IMEX" else 0.5
+    kw = dict(tol=1e-7, max_iter=6, logging_lvl=30, nested_iteration=False)
+    ref = RefMgrit(problem=[RefAC(nx=32, method=method, t_start=0, t_stop=t_stop, nt=17),
+                            RefAC(nx=32, method=method, t_start=0, t_stop=t_stop, nt=5)],
+                   **kw)
+    ours = Mgrit(problem=[AllenCahn(nx=32, method=method, t_start=0, t_stop=t_stop, nt=17),
+                          AllenCahn(nx=32, method=method, t_start=0, t_stop=t_stop, nt=5)],
+                 **kw)
+    # nonlinear problem, different linear-solve algorithms (scipy LU vs
+    # FFT-preconditioned Newton-CG): looser tolerance than the linear cases
+    _compare(ref.solve()['conv'], ours.solve()['conv'], rtol=1e-4, atol=1e-10)
+
+
+@pytest.mark.parametrize("k", [1, 3, 7])
+def test_at_mgrit_k_sweep_matches_reference(k):
+    """AT-MGRIT truncated coarsest solves for several distances k
+    (reference at_mgrit.py:37-88, serial branch 78-86)."""
+    from pymgrit.core.at_mgrit import AtMgrit as RefAtMgrit
+    from pymgrit.dahlquist.dahlquist import Dahlquist as RefDahlquist
+    from pymgrit_tpu import AtMgrit, Dahlquist
+
+    kw = dict(tol=1e-10, max_iter=12, logging_lvl=30)
+    ref = RefAtMgrit(k=k, problem=[RefDahlquist(t_start=0, t_stop=5, nt=101),
+                                   RefDahlquist(t_start=0, t_stop=5, nt=51)], **kw)
+    ours = AtMgrit(k=k, problem=[Dahlquist(t_start=0, t_stop=5, nt=101),
+                                 Dahlquist(t_start=0, t_stop=5, nt=51)], **kw)
+    _compare(ref.solve()['conv'], ours.solve()['conv'])
