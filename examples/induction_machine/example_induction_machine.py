@@ -28,8 +28,12 @@ def main():
     path_im3kw = os.environ.get("PYMGRIT_TPU_IM3KW", "")
     path_getdp = os.environ.get("PYMGRIT_TPU_GETDP", "")
     if not path_im3kw or not os.path.isdir(path_im3kw):
-        sys.exit("set PYMGRIT_TPU_IM3KW to the im_3kW data directory "
-                 "(GetDP + meshes are not bundled; see module docstring)")
+        # Graceful skip (exit 0): this example needs the external GetDP
+        # binary + im_3kW mesh set, which are not bundled; a nonzero exit
+        # would read as a failure to harnesses like tools/run_examples.py.
+        print("SKIP: set PYMGRIT_TPU_IM3KW to the im_3kW data directory "
+              "(GetDP + meshes are not bundled; see module docstring)")
+        return
     if not path_im3kw.endswith(os.sep):
         path_im3kw += os.sep
 

@@ -50,6 +50,7 @@ from pymgrit_tpu.models.brusselator import Brusselator
 from pymgrit_tpu.models.arenstorf_orbit import ArenstorfOrbit
 from pymgrit_tpu.models.allen_cahn import AllenCahn
 from pymgrit_tpu.models.heat_1d_2pts import Heat1DBDF1, Heat1DBDF2, PairState
+from pymgrit_tpu.models.grid_transfer_heat import GridTransferHeat, GridTransferHeat2D
 
 __all__ = [
     "Mgrit",
@@ -69,6 +70,8 @@ __all__ = [
     "Heat1DBDF1",
     "Heat1DBDF2",
     "PairState",
+    "GridTransferHeat",
+    "GridTransferHeat2D",
 ]
 
 __version__ = "0.1.0"

@@ -18,11 +18,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXAMPLES = os.path.join(REPO, "examples")
 
-SKIP = {
-    # needs the GetDP FEM binary + im_3kW mesh set (not in this container);
-    # the script itself prints a skip message, but it imports nothing useful
-    # without them, so don't spend a subprocess on it by default.
-}
+# Examples excluded from the sweep by default.  (The induction-machine
+# driver now skips itself with exit 0 when PYMGRIT_TPU_IM3KW is unset, so
+# nothing needs a hard exclusion; keep the set for future gating.)
+SKIP = set()
 
 
 def find_examples(patterns):
@@ -43,7 +42,12 @@ def main():
     # demotes f64.  Also keeps this runner usable with no TPU attached.
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.setdefault("XLA_FLAGS", "")
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    # The sharded examples adapt to len(jax.devices()); give them a real
+    # multi-device CPU mesh to exercise the collective paths.
+    if "xla_force_host_platform_device_count" not in env.get("XLA_FLAGS", ""):
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8").strip()
     failures = []
     for rel in find_examples(patterns):
         if rel in SKIP:
