@@ -122,6 +122,11 @@ class Mgrit:
                                 '. Poorly tested.')
 
         self.step_fns: List[Callable] = [p.step for p in problem]
+        # Double-double mode: states are float32 (hi, lo) pairs (ops/dd.py),
+        # giving fp64-class residual floors on hardware without fp64.  Time
+        # values must then also be DD-split: the grids are f64 on host and a
+        # bare f32 cast would perturb every dt at the 1e-7 level.
+        self._dd = vector.contains_dd(problem[0].vector_template)
         # Applications may define a custom per-state norm (e.g. the machine
         # state excludes its scalar outputs, reference
         # vector_machine.py:101-109); default is the flat 2-norm.
@@ -227,6 +232,13 @@ class Mgrit:
     # batched kernels (pure; called under jit)
     # ------------------------------------------------------------------
 
+    def _as_t(self, arr):
+        """Host f64 time values -> step inputs (exact DD split in DD mode)."""
+        if self._dd:
+            from pymgrit_tpu.ops import dd as _ddm
+            return _ddm.from_f64(np.asarray(arr))
+        return jnp.asarray(arr)
+
     def _vstep(self, lvl):
         """Batched stepper: an application may provide step_batched(u_tube,
         t_starts, t_stops) — e.g. a Pallas kernel fusing the whole batched
@@ -275,8 +287,8 @@ class Mgrit:
         t = info.t
         # seeds: owning C-points u[0, m, 2m, ...] for each interval
         x = jax.tree_util.tree_map(lambda a: a[0:nt - 1:m], u)
-        t_prev = jnp.asarray(np.stack([t[j * m:j * m + m - 1] for j in range(J)], 1))  # (m-1, J)
-        t_curr = jnp.asarray(np.stack([t[j * m + 1:j * m + m] for j in range(J)], 1))
+        t_prev = self._as_t(np.stack([t[j * m:j * m + m - 1] for j in range(J)], 1))  # (m-1, J)
+        t_curr = self._as_t(np.stack([t[j * m + 1:j * m + m] for j in range(J)], 1))
         vstep = self._vstep(lvl)
 
         if lvl == 0:
@@ -307,7 +319,7 @@ class Mgrit:
     def _c_relax_uniform(self, lvl, u, g):
         info = self.levels[lvl]
         nt, m = info.nt, info.m
-        t = jnp.asarray(info.t)
+        t = self._as_t(info.t)
         prev = jax.tree_util.tree_map(lambda a: a[m - 1:nt:m], u)   # u[cm-1]
         tp = t[m - 1:nt:m]
         tc = t[m:nt:m]
@@ -337,8 +349,8 @@ class Mgrit:
         nt = info.nt
         x = vector.take(u, ch.seed)  # (J, ...) seeds: owning C-point states
         # Scan inputs laid out (Lmax, J)
-        t_prev = jnp.asarray(ch.t_prev.T)
-        t_curr = jnp.asarray(ch.t_curr.T)
+        t_prev = self._as_t(ch.t_prev.T)
+        t_curr = self._as_t(ch.t_curr.T)
         mask = jnp.asarray(ch.mask.T)
         f_idx_cl = jnp.asarray(np.minimum(ch.f_idx.T, nt - 1))  # clipped for g-gather
         vstep = self._vstep(lvl)
@@ -380,7 +392,7 @@ class Mgrit:
 
         if cc.rmax == 1:
             ci = jnp.asarray(info.cpts[1:])
-            t = jnp.asarray(info.t)
+            t = self._as_t(info.t)
             prev = vector.take(u, ci - 1)
             stepped = self._vstep(lvl)(prev, t[ci - 1], t[ci])
             if lvl > 0:
@@ -394,8 +406,8 @@ class Mgrit:
 
         nt = info.nt
         x = vector.take(u, jnp.asarray(cc.seed_prev))  # (K, ...)
-        t_prev = jnp.asarray(cc.t_prev.T)
-        t_curr = jnp.asarray(cc.t_curr.T)
+        t_prev = self._as_t(cc.t_prev.T)
+        t_curr = self._as_t(cc.t_curr.T)
         mask = jnp.asarray(cc.mask.T)
         idx_cl = jnp.asarray(np.minimum(cc.c_idx.T, nt - 1))
         vstep = self._vstep(lvl)
@@ -426,7 +438,7 @@ class Mgrit:
         nt = info.nt
         if nt <= 1:
             return u
-        t = jnp.asarray(info.t)
+        t = self._as_t(info.t)
         u0 = vector.take(u, jnp.asarray([0]))
         x0 = jax.tree_util.tree_map(lambda a: a[0], u0)
         step = self.step_fns[lvl]
@@ -455,8 +467,8 @@ class Mgrit:
         info_c = self.levels[lvl + 1]
         nc = info.cpts.size
         nt, m = info.nt, info.m
-        t_f = jnp.asarray(info.t)
-        t_c = jnp.asarray(info_c.t)
+        t_f = self._as_t(info.t)
+        t_c = self._as_t(info_c.t)
         vrestrict = jax.vmap(self.restrict_fns[lvl])
 
         if info.uniform:
@@ -581,7 +593,7 @@ class Mgrit:
 
     def _point_residual_norms(self, u0):
         info = self.levels[0]
-        t = jnp.asarray(info.t)
+        t = self._as_t(info.t)
         if info.uniform:
             nt, m = info.nt, info.m
             prev = jax.tree_util.tree_map(lambda a: a[m - 1:nt:m], u0)

@@ -15,9 +15,15 @@ from pymgrit_tpu.core.application import Application
 
 
 class Dahlquist(Application):
-    """u' = lambda*u with lambda = -1 (default) and u(0) = 1."""
+    """u' = lambda*u with lambda = -1 (default) and u(0) = 1.
 
-    def __init__(self, constant_lambda: float = -1, method: str = 'BE', *args, **kwargs):
+    ``precision='dd'`` switches the state to double-double float32 pairs
+    (ops/dd.py): the step body is unchanged — the DD operator overloads give
+    it fp64-class accuracy on TPU hardware without fp64, reproducing the
+    reference's 1e-10-tolerance golden history on chip."""
+
+    def __init__(self, constant_lambda: float = -1, method: str = 'BE',
+                 precision: str = None, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.lambda_value = constant_lambda
         if method in ('BE', 'FE', 'TR', 'MR'):
@@ -26,8 +32,13 @@ class Dahlquist(Application):
             raise Exception(
                 'Unknown method. Choose BE (Backward Euler), FE (Forward Euler), TR (Trapezoidal rule) ' +
                 'or MR (implicit mid-point rule)')
-        self.vector_template = np.zeros(())
-        self.vector_t_start = np.ones(())
+        if precision == 'dd':
+            from pymgrit_tpu.ops import dd
+            self.vector_template = dd.from_f64(np.zeros(()))
+            self.vector_t_start = dd.from_f64(np.ones(()))
+        else:
+            self.vector_template = np.zeros(())
+            self.vector_t_start = np.ones(())
 
     def step(self, u_start, t_start, t_stop):
         z = (t_stop - t_start) * self.lambda_value

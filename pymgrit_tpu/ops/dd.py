@@ -49,16 +49,23 @@ def _f32(x):
 
 
 def two_sum(a, b):
-    """s + e == a + b exactly, s = fl(a + b) (Knuth)."""
-    s = a + b
+    """s + e == a + b exactly, s = fl(a + b) (Knuth).
+
+    The optimization barrier on s is load-bearing: XLA's algebraic
+    simplifier reassociates float add/sub chains when literal constants are
+    involved (e.g. fl((1 + b) - 1) -> b), which silently destroys the error
+    term.  Observed on the XLA CPU backend for any DD op with a constant
+    operand; the barrier makes s opaque to the rewriter on every backend.
+    """
+    s = jax.lax.optimization_barrier(a + b)
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
     return s, e
 
 
 def quick_two_sum(a, b):
-    """TwoSum assuming |a| >= |b| (Dekker)."""
-    s = a + b
+    """TwoSum assuming |a| >= |b| (Dekker).  Barrier: see two_sum."""
+    s = jax.lax.optimization_barrier(a + b)
     e = b - (s - a)
     return s, e
 
