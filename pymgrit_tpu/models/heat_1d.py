@@ -25,7 +25,7 @@ class Heat1D(Application):
 
     def __init__(self, x_start: float, x_end: float, nx: int, a: float,
                  init_cond: Callable = lambda x: x * 0, rhs: Callable = lambda x, t: x * 0,
-                 *args, **kwargs):
+                 precision: str = None, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.x_start = x_start
         self.x_end = x_end
@@ -41,15 +41,33 @@ class Heat1D(Application):
         self.S, self.lam = sine_eigenbasis(self.nx, fac)
         self._x_j = self.x
 
-        self.vector_template = np.zeros(self.nx)
-        self.vector_t_start = np.asarray(init_cond(self.x), dtype=np.float64)
+        # precision='dd': state and spectral constants become double-double
+        # float32 pairs (ops/dd.py); the eigenbasis matmuls dispatch to the
+        # Ozaki MXU kernel (ops/ozaki.py), reaching fp64-class residual
+        # floors on hardware without fp64.  The step body is unchanged.
+        self._dd = precision == 'dd'
+        if self._dd:
+            from pymgrit_tpu.ops import dd
+            self.S = dd.from_f64(self.S)
+            self.lam = dd.from_f64(self.lam)
+            self.vector_template = dd.from_f64(np.zeros(self.nx))
+            self.vector_t_start = dd.from_f64(
+                np.asarray(init_cond(self.x), dtype=np.float64))
+        else:
+            self.vector_template = np.zeros(self.nx)
+            self.vector_t_start = np.asarray(init_cond(self.x), dtype=np.float64)
 
     def _rhs_at(self, t):
         """b(x, t) evaluated with jnp so traced t works.  User callables must
-        be jnp-compatible (numpy ufuncs on jnp arrays trace fine)."""
-        return self.rhs(self._x_j, t)
+        be jnp-compatible (numpy ufuncs on jnp arrays trace fine).  In DD
+        mode the callable sees the rounded f32 time value: the rhs samples
+        are *data* of the discrete system — as long as they are consistent
+        across levels (they are: same t grid), histories are unaffected —
+        while all arithmetic around them stays DD."""
+        from pymgrit_tpu.ops.dd import DD
+        return self.rhs(self._x_j, t.to_float() if isinstance(t, DD) else t)
 
     def step(self, u_start, t_start, t_stop):
         dt = t_stop - t_start
-        b = u_start + self._rhs_at(t_stop) * dt
+        b = u_start + dt * self._rhs_at(t_stop)
         return solve_shifted_1d(self.S, self.lam, dt, b)

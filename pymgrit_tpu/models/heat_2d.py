@@ -36,8 +36,14 @@ class Heat2D(Application):
                  bc_right: Union[int, float, Callable] = 0,
                  bc_bottom: Union[int, float, Callable] = 0,
                  bc_top: Union[int, float, Callable] = 0,
-                 use_pallas: bool = False, *args, **kwargs):
+                 use_pallas: bool = False, precision: str = None, *args, **kwargs):
         super().__init__(*args, **kwargs)
+        # precision='dd': double-double float32 state + Ozaki MXU spectral
+        # solves (ops/dd.py, ops/ozaki.py) — fp64-class residual floors on
+        # hardware without fp64.  Mutually exclusive with use_pallas.
+        self._dd = precision == 'dd'
+        if self._dd and use_pallas:
+            raise Exception("use_pallas and precision='dd' are mutually exclusive")
         # Opt-in fused Pallas kernel for the batched implicit solve (the
         # solver picks up step_batched when defined); requires jnp-
         # broadcastable rhs callables.  XLA's own fusion is competitive at
@@ -99,7 +105,29 @@ class Heat2D(Application):
         init[0, :] = np.asarray(self.bc_top_arr)
         self.vector_t_start = init
 
+        if self._dd:
+            from pymgrit_tpu.ops import dd
+            self.Sx = dd.from_f64(self.Sx)
+            self.Sy = dd.from_f64(self.Sy)
+            self.lamx = dd.from_f64(self.lamx)
+            self.lamy = dd.from_f64(self.lamy)
+            self.vector_template = dd.from_f64(self.vector_template)
+            self.vector_t_start = dd.from_f64(init)
+
     # ------------------------------------------------------------------
+
+    def _zeros_like(self, u):
+        if self._dd:
+            from pymgrit_tpu.ops import dd
+            return dd.zeros_like(u)
+        return jnp.zeros_like(u)
+
+    def _tval(self, t):
+        """Time value for user rhs callables (rounded f32 in DD mode; the
+        rhs samples are data of the discrete system — consistent across
+        levels, so histories are unaffected)."""
+        from pymgrit_tpu.ops.dd import DD
+        return t.to_float() if isinstance(t, DD) else t
 
     def _apply_L(self, u):
         """Apply the reference's zeroed-boundary-row 5-point operator
@@ -109,7 +137,7 @@ class Heat2D(Application):
         interior = (2 * (fx + fy) * u[1:-1, 1:-1]
                     - fy * u[1:-1, :-2] - fy * u[1:-1, 2:]
                     - fx * u[:-2, 1:-1] - fx * u[2:, 1:-1])
-        return jnp.zeros_like(u).at[1:-1, 1:-1].set(interior)
+        return self._zeros_like(u).at[1:-1, 1:-1].set(interior)
 
     def _set_bc(self, u):
         """Overwrite the boundary ring with the Dirichlet data."""
@@ -131,21 +159,21 @@ class Heat2D(Application):
             # FE (heat_2d.py:330-346).  Note the reference *adds* the BC data
             # onto the carried-over boundary values (new = bc_array + (I-dtL)u,
             # heat_2d.py:333-343) instead of overwriting — replicated here.
-            bc_ring = self._set_bc(jnp.zeros_like(u_start))
+            bc_ring = self._set_bc(self._zeros_like(u_start))
             new = bc_ring + u_start - dt * self._apply_L(u_start)
-            new = new.at[1:-1, 1:-1].add(dt * self.rhs(x=self._xi, y=self._yi, t=t_start))
+            new = new.at[1:-1, 1:-1].add(dt * self.rhs(x=self._xi, y=self._yi, t=self._tval(t_start)))
             return new
 
         # Implicit rhs (compute_rhs, heat_2d.py:289-320)
         if self.theta == 1.0:
-            b = jnp.zeros_like(u_start)
+            b = self._zeros_like(u_start)
             b = b.at[1:-1, 1:-1].set(u_start[1:-1, 1:-1]
-                                     + dt * self.rhs(x=self._xi, y=self._yi, t=t_stop))
+                                     + dt * self.rhs(x=self._xi, y=self._yi, t=self._tval(t_stop)))
         else:
             b = u_start - self.theta * dt * self._apply_L(u_start)
             b = b.at[1:-1, 1:-1].add(
-                self.theta * dt * self.rhs(x=self._xi, y=self._yi, t=t_stop)
-                + (1 - self.theta) * dt * self.rhs(x=self._xi, y=self._yi, t=t_start))
+                self.theta * dt * self.rhs(x=self._xi, y=self._yi, t=self._tval(t_stop))
+                + (1 - self.theta) * dt * self.rhs(x=self._xi, y=self._yi, t=self._tval(t_start)))
         b = self._set_bc(b)
 
         # Interior solve with Dirichlet boundary lift: the interior equations
@@ -158,7 +186,7 @@ class Heat2D(Application):
         b_int = b_int.at[0, :].add(shift * self.fx * b[0, 1:-1])
         b_int = b_int.at[-1, :].add(shift * self.fx * b[-1, 1:-1])
         new_int = self._solve_interior(shift, b_int)
-        new = self._set_bc(jnp.zeros_like(u_start).at[1:-1, 1:-1].set(new_int))
+        new = self._set_bc(self._zeros_like(u_start).at[1:-1, 1:-1].set(new_int))
         return new
 
     def _step_batched_pallas(self, us, t0s, t1s):
