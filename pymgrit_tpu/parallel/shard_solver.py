@@ -74,6 +74,8 @@ class ShardedMgrit:
                  nested_iteration: bool = True, cf_iter=1,
                  cycle_type: str = 'V', weight_c: float = 1.0,
                  t_norm: int = 2, conv_crit: int = 0,
+                 output_fcn=None, output_lvl: int = 1,
+                 random_init_guess: bool = False, rng_seed: int = 0,
                  logging_lvl: int = logging.INFO):
         import sys
         logging.basicConfig(format='%(levelname)s - %(asctime)s - %(message)s',
@@ -82,9 +84,24 @@ class ShardedMgrit:
         validate_hierarchy([p.t for p in problem])
         if conv_crit not in (0, 1, 2, 3):
             raise Exception("Convergence criterion must be 0, 1, 2 or 3")
+        if output_lvl not in (0, 1, 2):
+            raise Exception("Unknown output level. Choose 0, 1 or 2.")
         self.problem = problem
         self.mesh = mesh
         self.n_shards = mesh.shape["time"]
+        # Space x time 2D meshes: the 'time' axis is manual (explicit
+        # ppermute halos below); the 'space' axis is left to GSPMD — the
+        # application declares space_sharding_axis and XLA partitions the
+        # step's dense linear algebra over it (the reference's comm_space
+        # delegation, mgrit.py:130-138, without hand-written communicators).
+        self.n_space = dict(mesh.shape).get("space", 1)
+        self.space_axis = getattr(problem[0], "space_sharding_axis", None)
+        self.output_fcn = output_fcn if (output_fcn is not None and callable(output_fcn)) else None
+        self.output_lvl = output_lvl
+        self.random_init_guess = random_init_guess
+        self.rng_seed = rng_seed
+        self.solve_iter = 0
+        self._all_below = False
         self.tol = tol
         self.iter_max = max_iter
         self.cycle_type = cycle_type
@@ -137,6 +154,8 @@ class ShardedMgrit:
         t0 = time.time()
         self._build_state(nested_iteration)
         self.runtime_setup = time.time() - t0
+        if self.output_lvl == 2:
+            self._call_output()
 
     # ------------------------------------------------------------------
     # layout helpers
@@ -177,7 +196,15 @@ class ShardedMgrit:
         for lvl in range(self.lvl_max):
             p = self.problem[lvl]
             template = vector.as_f64(p.vector_template)
-            tube = vector.tube_of(template, self.levels[lvl].nt)
+            nt = self.levels[lvl].nt
+            if lvl == 0 and self.random_init_guess:
+                # identical key derivation to Mgrit (solver.py:154-156) so
+                # the same seed yields the same random tube in both executors
+                key, sub = jax.random.split(jax.random.PRNGKey(self.rng_seed))
+                tube = jax.vmap(lambda k: vector.random_like(template, k))(
+                    jax.random.split(sub, nt))
+            else:
+                tube = vector.tube_of(template, nt)
             tube = vector.set_at(tube, np.array([0]),
                                  jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None],
                                                         vector.as_f64(p.vector_t_start)))
@@ -191,15 +218,24 @@ class ShardedMgrit:
             state[lvl] = entry
 
         # shard: blocks leaves on axis 0 over 'time'; last/g_last replicated
+        # over time.  With a 2D mesh, the state's space_sharding_axis is
+        # additionally sharded over 'space' (GSPMD-managed inside the body).
+        def _put_spec(x, is_blocks):
+            lead = ("time", None) if is_blocks else ()
+            state_nd = x.ndim - len(lead)
+            sp = [None] * state_nd
+            if (self.n_space > 1 and self.space_axis is not None
+                    and self.space_axis < state_nd):
+                sp[self.space_axis] = "space"
+            return P(*lead, *sp)
+
         def shard_entry(entry):
             out = {}
             for k, v in entry.items():
-                spec = (P("time"),) if "blocks" in k else (P(),)
+                is_blocks = "blocks" in k
                 out[k] = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, NamedSharding(
-                        self.mesh, P(*(spec[0] if "blocks" in k else ()),
-                                     *([None] * (x.ndim - (1 if "blocks" in k else 0)))))),
-                    v)
+                    lambda x: jax.device_put(
+                        x, NamedSharding(self.mesh, _put_spec(x, is_blocks))), v)
             return out
 
         self.state = {lvl: shard_entry(e) for lvl, e in state.items()}
@@ -523,8 +559,11 @@ class ShardedMgrit:
             self._cycle_sm(lvl, state, 'V', False, lvl0_first)
 
     def _sm(self, fn):
+        # axis_names: 'time' is manual (explicit collectives); any other
+        # mesh axis (e.g. 'space') stays GSPMD-auto inside the body.
         return shard_map(fn, mesh=self.mesh, in_specs=(self._specs,),
-                         out_specs=self._specs, check_vma=False)
+                         out_specs=self._specs, check_vma=False,
+                         axis_names=frozenset({"time"}))
 
     def _iteration_sm(self, state, first):
         def body(st):
@@ -610,7 +649,8 @@ class ShardedMgrit:
         return shard_map(self._conv_body, mesh=self.mesh,
                          in_specs=(self._specs, self._usave_specs),
                          out_specs=(P(), P(), self._usave_specs),
-                         check_vma=False)(state, u_save)
+                         check_vma=False,
+                         axis_names=frozenset({"time"}))(state, u_save)
 
     # ------------------------------------------------------------------
 
@@ -653,7 +693,7 @@ class ShardedMgrit:
             self._jit_solve_loop = jax.jit(shard_map(
                 loop, mesh=self.mesh, in_specs=(self._specs, self._usave_specs),
                 out_specs=(P(), P(), self._specs, self._usave_specs),
-                check_vma=False))
+                check_vma=False, axis_names=frozenset({"time"})))
 
         t0 = time.time()
         it, hist, self.state, self._u_save = self._jit_solve_loop(
@@ -663,23 +703,50 @@ class ShardedMgrit:
         self.conv = np.zeros(self.iter_max + 1)
         self.conv[1:it + 1] = hist[:it]
         self.runtime_solve = time.time() - t0
+        self.solve_iter = it
         for k in range(it):
             logging.info(f"sharded iter {k + 1} | conv: {hist[k]}")
+        if self.output_lvl in (1, 2):
+            self._call_output()
         return {'conv': self.conv[np.where(self.conv != 0)],
                 'time_setup': self.runtime_setup, 'time_solve': self.runtime_solve}
+
+    def convergence_criterion(self, iteration: int) -> None:
+        """Compute self.conv[iteration] (+ the local criteria's all-below
+        flag).  Overridable, mirroring Mgrit.convergence_criterion and the
+        reference's documented subclassing pattern
+        (examples/example_convergence_criterion.py:13-61).  Custom criteria
+        apply to solve(); solve_compiled keeps the fused built-in check."""
+        conv, all_below, self._u_save = self._jit_conv(self.state, self._u_save)
+        self.conv[iteration] = float(conv)
+        self._all_below = bool(all_below)
+
+    def _call_output(self):
+        """Invoke the user output hook with the reference-style views
+        (self.t / self.index_local / self.u, docs/source/usage/
+        parallelism.rst:29-83).  Gathers the fine solution (opt-in cost)."""
+        if self.output_fcn is None:
+            return
+        self.t = [li.t for li in self.levels]
+        self.index_local = [np.arange(li.nt) for li in self.levels]
+        self.u = [self.fine_solution()]
+        self.output_fcn(self)
 
     def solve(self) -> dict:
         t0 = time.time()
         for it in range(self.iter_max):
+            self.solve_iter = it + 1
             self.state = self._jit_iter(self.state, first=(it == 0))
-            conv, all_below, self._u_save = self._jit_conv(self.state,
-                                                           self._u_save)
-            conv = float(conv)
-            self.conv[it + 1] = conv
+            self.convergence_criterion(it + 1)
+            conv = self.conv[it + 1]
             logging.info(f"sharded iter {it + 1} | conv: {conv}")
-            if (conv < self.tol) if self.global_conv_crit else bool(all_below):
+            if self.output_lvl == 2:
+                self._call_output()
+            if (conv < self.tol) if self.global_conv_crit else self._all_below:
                 break
         self.runtime_solve = time.time() - t0
+        if self.output_lvl == 1:
+            self._call_output()
         return {'conv': self.conv[np.where(self.conv != 0)],
                 'time_setup': self.runtime_setup, 'time_solve': self.runtime_solve}
 
@@ -691,51 +758,122 @@ class ShardedMgrit:
 
 class ShardedAtMgrit(ShardedMgrit):
     """AT-MGRIT inside the shard_map executor: the coarsest level solves
-    distance-k truncated local windows, batched over every local point after
-    one small all_gather (reference at_mgrit.py:37-88 — the black/green
-    communicator machinery collapses into all_gather + a masked scan)."""
+    distance-k truncated local windows (reference at_mgrit.py:37-88).
+
+    Communication is the distance-k profile of the algorithm, NOT a full
+    grid gather: each shard receives only the k-1 points preceding its slab
+    — a chain of ceil((k-1)/J_loc) neighbor ``ppermute`` hops (one hop in
+    the common k-1 <= J_loc case) — plus one masked-psum broadcast of the
+    k-point tail window for the replicated final point.  This matches the
+    reference's black-communicator exchange volume (at_mgrit.py:45-54),
+    where each rank consumes only its local_coarse_grid window."""
 
     def __init__(self, k: int, *args, **kwargs):
         self.k = k
         super().__init__(*args, **kwargs)
+
+    def _left_halo(self, flat, depth):
+        """The ``depth`` entries preceding this shard's slab (global order),
+        via chained shift-by-one-shard ppermutes.  Shard 0 receives zeros —
+        its windows are clamped at point 0 and never read them."""
+        perm = [(i, i + 1) for i in range(self.n_shards - 1)]
+        slabs = []
+        rolled = flat
+        got = 0
+        while got < depth:
+            rolled = jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(x, "time", perm), rolled)
+            take = min(depth - got, jax.tree_util.tree_leaves(rolled)[0].shape[0])
+            slabs.insert(0, jax.tree_util.tree_map(lambda x: x[-take:], rolled))
+            got += take
+        if not slabs:
+            return None
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *slabs)
+
+    def _tail_window(self, flat, last, n, lvl):
+        """The last n real flat points + the final point, replicated to all
+        shards via one masked psum (n+1 states — k-window volume)."""
+        Jloc = self.Jloc[lvl]
+        J_real = self.J_real[lvl]
+        idxs = np.arange(max(0, J_real - n), J_real)          # static
+        owners = idxs // Jloc
+        locs = idxs % Jloc
+        me = jax.lax.axis_index("time")
+
+        def _bcast(x):
+            picked = x[np.asarray(locs)]                       # (n, ...)
+            mask = (jnp.asarray(owners) == me)
+            masked = jnp.where(mask.reshape((-1,) + (1,) * (picked.ndim - 1)),
+                               picked, jnp.zeros_like(picked))
+            return jax.lax.psum(masked, "time")
+
+        win = jax.tree_util.tree_map(_bcast, flat)
+        return jax.tree_util.tree_map(
+            lambda w, l: jnp.concatenate([w, l[None]], axis=0), win, last)
 
     def _coarsest_solve_sm(self, u):
         lvl = self.lvl_max - 1
         li = self.levels[lvl]
         nt = li.nt
         k = self.k
-        t = jnp.asarray(li.t)
         J_real, Jloc = self.J_real[lvl], self.Jloc[lvl]
         step = self.step_fns[lvl]
+        H = min(k - 1, nt - 1)                                  # halo depth
+        t_pad = jnp.asarray(self.t_pad[lvl])
 
-        # snapshot of the full real coarsest grid (points 0..nt-1): gather
-        # the padded flat blocks, statically slice off the phantom tail,
-        # append the real final point.
-        def _full(bl, l):
-            flat = jax.lax.all_gather(bl, "time", tiled=True)
-            flat = flat.reshape((-1,) + bl.shape[2:])[:J_real]
-            return jnp.concatenate([flat, l[None]], axis=0)
+        u_flat = jax.tree_util.tree_map(lambda b: b[:, 0], u["blocks"])
+        g_flat = jax.tree_util.tree_map(lambda b: b[:, 0], u["g_blocks"])
 
-        u_full = jax.tree_util.tree_map(_full, u["blocks"], u["last"])
-        g_full = jax.tree_util.tree_map(_full, u["g_blocks"], u["g_last"])
+        # extended local views covering global flat indices
+        # [base - H, base + Jloc), base = shard * Jloc
+        if H > 0:
+            u_ext = jax.tree_util.tree_map(
+                lambda h, f: jnp.concatenate([h, f], axis=0),
+                self._left_halo(u_flat, H), u_flat)
+            g_ext = jax.tree_util.tree_map(
+                lambda h, f: jnp.concatenate([h, f], axis=0),
+                self._left_halo(g_flat, H), g_flat)
+        else:
+            u_ext, g_ext = u_flat, g_flat
 
-        idx = jax.lax.axis_index("time")
-        pts = idx * Jloc + jnp.arange(Jloc)                     # local points
-        pts = jnp.concatenate([pts, jnp.array([nt - 1])])       # + global last
-        pts = jnp.minimum(pts, nt - 1)   # phantom lanes recompute the last point
-        ws = jnp.maximum(0, pts - k + 1)
-        x = jax.tree_util.tree_map(lambda f: f[ws], u_full)
+        me = jax.lax.axis_index("time")
+        base = me * Jloc
+        pts = base + jnp.arange(Jloc)                 # my global flat points
+        ws = jnp.maximum(0, pts - k + 1)              # window starts
+        pos_ws = ws - (base - H)                      # index into the ext view
+        x = jax.tree_util.tree_map(lambda f: f[pos_ws], u_ext)
 
         def body(carry, j):
-            i = jnp.minimum(ws + 1 + j, nt - 1)
-            active = (ws + 1 + j) <= pts
-            gi = jax.tree_util.tree_map(lambda g: g[i], g_full)
-            stepped = vector.add(gi, jax.vmap(step)(carry, t[i - 1], t[i]))
+            i = ws + 1 + j                            # global point produced
+            active = i <= pts
+            ic = jnp.minimum(i, t_pad.shape[0] - 1)   # phantom lanes use padded times
+            pos = jnp.minimum(i - (base - H),
+                              jax.tree_util.tree_leaves(g_ext)[0].shape[0] - 1)
+            gi = jax.tree_util.tree_map(lambda g: g[pos], g_ext)
+            stepped = vector.add(gi, jax.vmap(step)(carry, t_pad[ic - 1], t_pad[ic]))
             carry = vector.where(active, stepped, carry)
             return carry, None
 
         x, _ = jax.lax.scan(body, x, jnp.arange(max(k - 1, 1)))
         new_blocks = jax.tree_util.tree_map(
-            lambda v: v[:-1].reshape((Jloc, 1) + v.shape[1:]), x)
-        new_last = jax.tree_util.tree_map(lambda v: v[-1], x)
+            lambda v: v.reshape((Jloc, 1) + v.shape[1:]), x)
+
+        # the replicated final point nt-1: window of the last min(k-1, nt-1)
+        # points via one masked-psum broadcast
+        Ht = min(k - 1, nt - 1)
+        u_tail = self._tail_window(u_flat, u["last"], Ht, lvl)   # (Ht+1, ...)
+        g_tail = self._tail_window(g_flat, u["g_last"], Ht, lvl)
+        # tail window covers global points [nt-1-Ht, nt-1]
+        xl = jax.tree_util.tree_map(lambda w: w[0], u_tail)
+        t_real = jnp.asarray(li.t)
+
+        def body_last(carry, j):
+            i = nt - 1 - Ht + 1 + j
+            gi = jax.tree_util.tree_map(lambda g: g[1 + j], g_tail)
+            stepped = vector.add(gi, step(carry, t_real[i - 1], t_real[i]))
+            return stepped, None
+
+        xl, _ = jax.lax.scan(body_last, xl, jnp.arange(max(Ht, 1)))
+        new_last = xl if Ht > 0 else u["last"]
         return {**u, "blocks": new_blocks, "last": new_last}
