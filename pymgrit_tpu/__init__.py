@@ -51,6 +51,7 @@ from pymgrit_tpu.models.arenstorf_orbit import ArenstorfOrbit
 from pymgrit_tpu.models.allen_cahn import AllenCahn
 from pymgrit_tpu.models.heat_1d_2pts import Heat1DBDF1, Heat1DBDF2, PairState
 from pymgrit_tpu.models.grid_transfer_heat import GridTransferHeat, GridTransferHeat2D
+from pymgrit_tpu.models.diffusion_2d import Diffusion2D
 
 __all__ = [
     "Mgrit",
@@ -72,6 +73,7 @@ __all__ = [
     "PairState",
     "GridTransferHeat",
     "GridTransferHeat2D",
+    "Diffusion2D",
 ]
 
 __version__ = "0.1.0"
