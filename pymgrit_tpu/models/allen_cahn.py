@@ -54,6 +54,14 @@ class AllenCahn(Application):
         k = np.arange(nx)
         lam1d = (2.0 * np.cos(2.0 * np.pi * k / nx) - 2.0) / self.dx ** 2
         self.lap_eigs = lam1d[:, None] + lam1d[None, :]  # (nx, nx)
+        # DFT as dense matmuls instead of jnp.fft: at model sizes (nx<=512)
+        # the MXU executes batched DFT matmuls faster than FFT butterflies,
+        # they fuse with the surrounding elementwise work, and they are
+        # GSPMD-partitionable (XLA CPU's fft thunk also RET_CHECKs on the
+        # transposed layouts the partitioner feeds it when the state is
+        # sharded over 'space').
+        self._F = np.exp(-2j * np.pi * np.outer(k, k) / nx)
+        self._Finv = np.conj(self._F) / nx
 
         # State axis 0 may be sharded over the mesh 'space' axis (the FFT and
         # roll collectives ride ICI under GSPMD).
@@ -72,9 +80,11 @@ class AllenCahn(Application):
                 jnp.roll(u, 1, 1) + jnp.roll(u, -1, 1) - 4.0 * u) / self.dx ** 2
 
     def _fft_solve(self, shift, b):
-        """Exact solve of (I - shift*L) x = b via FFT diagonalization."""
-        bh = jnp.fft.fft2(b)
-        return jnp.real(jnp.fft.ifft2(bh / (1.0 - shift * self.lap_eigs)))
+        """Exact solve of (I - shift*L) x = b via Fourier diagonalization
+        (dense DFT matmuls on the MXU; see constructor note)."""
+        bh = self._F @ (b + 0j) @ self._F.T
+        xh = bh / (1.0 - shift * self.lap_eigs)
+        return jnp.real(self._Finv @ xh @ self._Finv.T)
 
     def _nonlin(self, u):
         return 1.0 / self.eps ** 2 * u * (1.0 - u ** self.nu)
