@@ -34,11 +34,21 @@ class GridTransferHeat(GridTransfer):
 
     def interpolation(self, u):
         # ret[2i] += u[i]/2; ret[2i+1] = u[i]; ret[2i+2] += u[i]/2
+        # Works for plain arrays and DD states (ops/dd.py): the scatter
+        # syntax and operators are polymorphic, only the zero allocation
+        # needs a branch.
+        from pymgrit_tpu.ops.dd import DD, _raw
         n = u.shape[0]
-        even = jnp.zeros(n + 1, dtype=u.dtype)
+
+        def zeros(m):
+            if isinstance(u, DD):
+                return _raw(jnp.zeros(m, dtype=u.dtype), jnp.zeros(m, dtype=u.dtype))
+            return jnp.zeros(m, dtype=u.dtype)
+
+        even = zeros(n + 1)
         even = even.at[:-1].add(0.5 * u)
         even = even.at[1:].add(0.5 * u)
-        out = jnp.zeros(2 * n + 1, dtype=u.dtype)
+        out = zeros(2 * n + 1)
         out = out.at[1::2].set(u)
         out = out.at[::2].set(even)
         return out

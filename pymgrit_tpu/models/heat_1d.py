@@ -53,19 +53,49 @@ class Heat1D(Application):
             self.vector_template = dd.from_f64(np.zeros(self.nx))
             self.vector_t_start = dd.from_f64(
                 np.asarray(init_cond(self.x), dtype=np.float64))
+            self._build_rhs_table()
         else:
             self.vector_template = np.zeros(self.nx)
             self.vector_t_start = np.asarray(init_cond(self.x), dtype=np.float64)
 
+    def _build_rhs_table(self):
+        """Tabulate rhs(x, t) over this level's grid times in ONE batched
+        jitted evaluation.  Needed for DD correctness: transcendentals like
+        jnp.sin(t) round DIFFERENTLY in vectorized vs scalar XLA contexts
+        (observed on CPU: f_relax's vmapped rhs vs forward_solve's scalar
+        rhs differ by ~1 ulp), which de-synchronizes the solver phases and
+        floors the DD residual at ~|u|*eps_f32.  A single evaluation context
+        makes every phase consume bitwise-identical samples."""
+        import jax
+        ts = jnp.asarray(np.asarray(self.t, dtype=np.float32))
+        tbl = jax.jit(jax.vmap(lambda tt: self.rhs(self._x_j, tt) *
+                               jnp.ones(self.nx, dtype=jnp.float32)))(ts)
+        if bool(jax.jit(lambda a: jnp.all(a == a[0:1]))(tbl)):
+            # time-independent rhs: keep one slice (big-nt memory saver)
+            self._rhs_tbl, self._rhs_tbl_times = tbl[:1], ts[:1]
+        else:
+            self._rhs_tbl, self._rhs_tbl_times = tbl, ts
+
     def _rhs_at(self, t):
         """b(x, t) evaluated with jnp so traced t works.  User callables must
         be jnp-compatible (numpy ufuncs on jnp arrays trace fine).  In DD
-        mode the callable sees the rounded f32 time value: the rhs samples
-        are *data* of the discrete system — as long as they are consistent
-        across levels (they are: same t grid), histories are unaffected —
-        while all arithmetic around them stays DD."""
+        mode, grid times hit the precomputed table (see _build_rhs_table);
+        off-grid times fall back to a runtime evaluation."""
         from pymgrit_tpu.ops.dd import DD
-        return self.rhs(self._x_j, t.to_float() if isinstance(t, DD) else t)
+        if not isinstance(t, DD):
+            return self.rhs(self._x_j, t)
+        tv = t.to_float()
+        idx = jnp.clip(jnp.searchsorted(self._rhs_tbl_times, tv),
+                       0, self._rhs_tbl.shape[0] - 1)
+        idx = jnp.where((idx > 0) &
+                        (jnp.abs(self._rhs_tbl_times[idx - 1] - tv) <
+                         jnp.abs(self._rhs_tbl_times[idx] - tv)),
+                        idx - 1, idx)
+        on_grid = self._rhs_tbl_times[idx] == tv
+        if self._rhs_tbl.shape[0] == 1:
+            on_grid = jnp.asarray(True)   # time-independent rhs
+        runtime = self.rhs(self._x_j, tv) * jnp.ones(self.nx, dtype=jnp.float32)
+        return jnp.where(on_grid, self._rhs_tbl[idx], runtime)
 
     def step(self, u_start, t_start, t_stop):
         dt = t_stop - t_start

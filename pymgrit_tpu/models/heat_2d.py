@@ -113,6 +113,7 @@ class Heat2D(Application):
             self.lamy = dd.from_f64(self.lamy)
             self.vector_template = dd.from_f64(self.vector_template)
             self.vector_t_start = dd.from_f64(init)
+            self._build_rhs_table()
 
     # ------------------------------------------------------------------
 
@@ -122,12 +123,43 @@ class Heat2D(Application):
             return dd.zeros_like(u)
         return jnp.zeros_like(u)
 
-    def _tval(self, t):
-        """Time value for user rhs callables (rounded f32 in DD mode; the
-        rhs samples are data of the discrete system — consistent across
-        levels, so histories are unaffected)."""
+    def _build_rhs_table(self):
+        """Tabulate rhs over this level's grid times in ONE batched jitted
+        evaluation.  DD correctness requirement: transcendentals in user rhs
+        callables (jnp.sin(t), ...) round differently in vectorized vs
+        scalar XLA contexts, de-synchronizing the solver phases and flooring
+        the DD residual at ~|u|*eps_f32; a single evaluation context makes
+        every phase consume bitwise-identical samples."""
+        import jax
+        shp = (self.nx - 2, self.ny - 2)
+        ts = jnp.asarray(np.asarray(self.t, dtype=np.float32))
+        tbl = jax.jit(jax.vmap(
+            lambda tt: self.rhs(x=self._xi, y=self._yi, t=tt) *
+            jnp.ones(shp, dtype=jnp.float32)))(ts)
+        if bool(jax.jit(lambda a: jnp.all(a == a[0:1]))(tbl)):
+            self._rhs_tbl, self._rhs_tbl_times = tbl[:1], ts[:1]
+        else:
+            self._rhs_tbl, self._rhs_tbl_times = tbl, ts
+
+    def _rhs_at(self, t):
+        """rhs(x, y, t) for a (possibly DD) time value; DD grid times hit
+        the precomputed table (see _build_rhs_table)."""
         from pymgrit_tpu.ops.dd import DD
-        return t.to_float() if isinstance(t, DD) else t
+        if not isinstance(t, DD):
+            return self.rhs(x=self._xi, y=self._yi, t=t)
+        tv = t.to_float()
+        idx = jnp.clip(jnp.searchsorted(self._rhs_tbl_times, tv),
+                       0, self._rhs_tbl.shape[0] - 1)
+        idx = jnp.where((idx > 0) &
+                        (jnp.abs(self._rhs_tbl_times[idx - 1] - tv) <
+                         jnp.abs(self._rhs_tbl_times[idx] - tv)),
+                        idx - 1, idx)
+        on_grid = self._rhs_tbl_times[idx] == tv
+        if self._rhs_tbl.shape[0] == 1:
+            on_grid = jnp.asarray(True)
+        runtime = self.rhs(x=self._xi, y=self._yi, t=tv) * \
+            jnp.ones((self.nx - 2, self.ny - 2), dtype=jnp.float32)
+        return jnp.where(on_grid, self._rhs_tbl[idx], runtime)
 
     def _apply_L(self, u):
         """Apply the reference's zeroed-boundary-row 5-point operator
@@ -161,19 +193,19 @@ class Heat2D(Application):
             # heat_2d.py:333-343) instead of overwriting — replicated here.
             bc_ring = self._set_bc(self._zeros_like(u_start))
             new = bc_ring + u_start - dt * self._apply_L(u_start)
-            new = new.at[1:-1, 1:-1].add(dt * self.rhs(x=self._xi, y=self._yi, t=self._tval(t_start)))
+            new = new.at[1:-1, 1:-1].add(dt * self._rhs_at(t_start))
             return new
 
         # Implicit rhs (compute_rhs, heat_2d.py:289-320)
         if self.theta == 1.0:
             b = self._zeros_like(u_start)
             b = b.at[1:-1, 1:-1].set(u_start[1:-1, 1:-1]
-                                     + dt * self.rhs(x=self._xi, y=self._yi, t=self._tval(t_stop)))
+                                     + dt * self._rhs_at(t_stop))
         else:
             b = u_start - self.theta * dt * self._apply_L(u_start)
             b = b.at[1:-1, 1:-1].add(
-                self.theta * dt * self.rhs(x=self._xi, y=self._yi, t=self._tval(t_stop))
-                + (1 - self.theta) * dt * self.rhs(x=self._xi, y=self._yi, t=self._tval(t_start)))
+                self.theta * dt * self._rhs_at(t_stop)
+                + (1 - self.theta) * dt * self._rhs_at(t_start))
         b = self._set_bc(b)
 
         # Interior solve with Dirichlet boundary lift: the interior equations

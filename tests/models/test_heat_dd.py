@@ -92,3 +92,29 @@ def test_heat2d_dd_full_history_vs_f64():
     # below tol (2.5e-16 vs ~7e-15)
     np.testing.assert_allclose(hist['dd'][:-1], hist[None][:-1], rtol=1e-6)
     assert hist['dd'][-1] < 1e-12
+
+
+def test_spatial_coarsening_dd_golden():
+    """The reference's 4-level spatial-coarsening example in DD: the 1D
+    full-weighting transfer operates on DD states through the polymorphic
+    scatter syntax (golden tests/mpi/results/spatial_coarsening)."""
+    from pymgrit_tpu import GridTransferHeat, GridTransferCopy
+
+    mk = lambda nx, t_interval=None, nt=None: Heat1D(
+        x_start=0, x_end=2, nx=nx, a=1, rhs=_rhs_1d, init_cond=_ic_1d,
+        precision='dd',
+        **(dict(t_interval=t_interval) if t_interval is not None
+           else dict(t_start=0, t_stop=2, nt=nt)))
+
+    heat0 = mk(2 ** 4 + 1, nt=2 ** 7 + 1)
+    heat1 = mk(2 ** 3 + 1, t_interval=heat0.t[::2])
+    heat2 = mk(2 ** 2 + 1, t_interval=heat1.t[::2])
+    heat3 = mk(2 ** 2 + 1, t_interval=heat2.t[::2])
+    transfer = [GridTransferHeat(), GridTransferHeat(), GridTransferCopy()]
+    mgrit = Mgrit(problem=[heat0, heat1, heat2, heat3], transfer=transfer,
+                  logging_lvl=30)
+    conv = mgrit.solve()['conv']
+    expected = np.array([3.3795e-2, 2.9794e-3, 3.2555e-4, 4.0429e-5,
+                         4.9316e-6, 6.1785e-7, 7.7088e-8])
+    assert len(conv) == 7
+    np.testing.assert_allclose(conv, expected, rtol=2e-3)
