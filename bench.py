@@ -1,11 +1,24 @@
-"""Benchmark: heat_2d MGRIT throughput (time-steps/sec/chip) vs the reference.
+"""Benchmark: MGRIT throughput + precision on TPU vs the reference.
 
-Config (BASELINE.json): 2D heat, nx=ny=65, nt=4097, 4-level hierarchy (m=4).
-Metric: fine-level Phi evaluations per second during the solve phase, on one
-chip.  vs_baseline = our steps/sec divided by the reference PyMGRIT's
-steps/sec measured live on this machine's CPU (the reference has no TPU
-path; serial CPU is its best single-"chip" configuration, and its published
-artifacts contain no absolute runtimes — see BASELINE.md).
+Primary metric (publication scale): the TOMS example-3 configuration —
+2D heat 129x129, nt = 2^14+1 = 16385, 5-level hierarchy with coarsening
+32/16/4/4 (reference examples/toms/example_3_petsc.py) — fine-level Phi
+evaluations per second during the solve, on one chip.
+
+vs_baseline = our steps/sec divided by the reference PyMGRIT's steps/sec on
+this machine's CPU at the same 129x129 spatial size (reduced nt: the
+reference's per-step spsolve cost is nt-independent, so steps/s transfers;
+its published artifacts contain no absolute runtimes — BASELINE.md).
+
+Secondary rows (extras):
+  base65     — round-1 comparable config (65x65, nt=4097, 4-level m=4)
+  spatial65  — BASELINE.json config 3: same but with 2D spatial coarsening
+               65^2 -> 33^2 -> 17^2 -> 9^2 (GridTransferHeat2D)
+  dd65       — double-double precision mode on the SAME chip: iterations &
+               residual tail at tol=1e-10 (fp64-class floors from f32
+               hardware; ops/dd.py + ops/ozaki.py) + its throughput cost
+  mfu        — achieved useful FLOP/s and fraction of the f32(HIGHEST)
+               matmul roofline (bf16 peak / 6 passes)
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
@@ -20,14 +33,21 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "BENCH_BASELINE_CACHE.json")
 
-NT = 4097
-NX = NY = 65
-LEVELS = 4
-M = 4
-MAX_ITER = 5
+# TPU v5e ("TPU v5 lite") peak: 197 TFLOP/s bf16 per chip.  f32 matmuls at
+# precision=HIGHEST run as 6 bf16 passes -> ~32.8 TFLOP/s f32 roofline.
+PEAK_BF16 = 197e12
+F32_PASSES = 6
+
+CONFIGS = {
+    "toms129": dict(nx=129, ny=129, nt=2 ** 14 + 1, ms=[32, 16, 4, 4],
+                    max_iter=5),
+    "base65": dict(nx=65, ny=65, nt=4097, ms=[4, 4, 4], max_iter=5),
+}
 
 
-def build_problem():
+def build_problem(nx, ny, nt, ms, precision=None, spatial=None):
+    """Heat2D hierarchy; ms = per-level-pair time coarsening factors;
+    spatial = optional list of per-level (nx, ny) for spatial coarsening."""
     import numpy as np
     import jax.numpy as jnp
     from pymgrit_tpu import Heat2D
@@ -38,13 +58,18 @@ def build_problem():
     def init_cond(x, y):
         return np.sin(np.pi * x) * np.sin(np.pi * y)
 
-    t = np.linspace(0, 1, NT)
-    return [
-        __import__("pymgrit_tpu").Heat2D(
-            x_start=0, x_end=1, y_start=0, y_end=1, nx=NX, ny=NY, a=1.0,
-            rhs=rhs, init_cond=init_cond, t_interval=t[:: M ** lvl])
-        for lvl in range(LEVELS)
-    ]
+    t = np.linspace(0, 1, nt)
+    problem = []
+    stride = 1
+    for lvl in range(len(ms) + 1):
+        nxl, nyl = (spatial[lvl] if spatial is not None else (nx, ny))
+        problem.append(Heat2D(x_start=0, x_end=1, y_start=0, y_end=1,
+                              nx=nxl, ny=nyl, a=1.0, rhs=rhs,
+                              init_cond=init_cond, t_interval=t[::stride],
+                              precision=precision))
+        if lvl < len(ms):
+            stride *= ms[lvl]
+    return problem
 
 
 def count_fine_steps_per_iter(mgrit, first):
@@ -63,20 +88,22 @@ def count_fine_steps_per_iter(mgrit, first):
     return steps
 
 
-def run_ours():
+def run_ours(name, max_iter, tol=1e-300, precision=None, transfer=None,
+             spatial=None, **cfg):
     import jax
+    import numpy as _np
     from pymgrit_tpu import Mgrit
 
-    problem = build_problem()
-    mgrit = Mgrit(problem=problem, tol=1e-300, max_iter=MAX_ITER, logging_lvl=30)
+    problem = build_problem(precision=precision, spatial=spatial, **cfg)
+    mgrit = Mgrit(problem=problem, transfer=transfer, tol=tol,
+                  max_iter=max_iter, logging_lvl=30)
 
     # Warm-up run compiles the full device-resident solve loop; the timed
-    # run then measures pure execution (the loop runs max_iter iterations
-    # regardless of state, so re-solving from the converged state performs
-    # identical work).
+    # run then measures pure execution (with tol below reach the loop runs
+    # max_iter iterations regardless of state, so re-solving from the
+    # converged state performs identical work).
     info_first = mgrit.solve_compiled()
     first_conv = [float(c) for c in info_first["conv"]]
-    import numpy as _np
     mgrit.conv = _np.zeros(mgrit.iter_max + 1)
 
     t0 = time.time()
@@ -86,15 +113,66 @@ def run_ours():
 
     iters = len(info["conv"])
     steps = sum(count_fine_steps_per_iter(mgrit, it == 0) for it in range(iters))
+    n_int = cfg["nx"] - 2
+    useful_flops = steps * 8.0 * n_int ** 3   # 4 spectral matmuls per step
     return {
+        "config": name,
         "steps": steps,
         "iterations": iters,
         "conv": first_conv,
         "solve_time_s": solve_time,
         "steps_per_sec": steps / solve_time,
+        "useful_tflops_per_sec": useful_flops / solve_time / 1e12,
         "backend": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }
+
+
+def run_dd_row():
+    """DD precision mode on the same chip: convergence to tol=1e-10 (the
+    reference's fp64 tolerance class) + throughput at the base65 config."""
+    from pymgrit_tpu import Mgrit
+
+    cfg = CONFIGS["base65"]
+    # (a) convergence: fresh solver to tol=1e-10 (first-call timing includes
+    # compilation, so throughput comes from (b))
+    problem = build_problem(nx=cfg["nx"], ny=cfg["ny"], nt=cfg["nt"],
+                            ms=cfg["ms"], precision='dd')
+    mgrit = Mgrit(problem=problem, tol=1e-10, max_iter=14, logging_lvl=30)
+    info = mgrit.solve_compiled()
+    # (b) throughput: warm + timed fixed-iteration run, same protocol as f32
+    perf = run_ours("dd65", max_iter=3, precision='dd',
+                    nx=cfg["nx"], ny=cfg["ny"], nt=cfg["nt"], ms=cfg["ms"])
+    return {
+        "iterations_to_1e-10": len(info["conv"]),
+        "conv": [float(f"{c:.4e}") for c in info["conv"]],
+        "residual_tail": float(info["conv"][-1]),
+        "steps_per_sec": perf["steps_per_sec"],
+    }
+
+
+def run_dahlquist_dd_row():
+    """README golden config in DD on chip (reference README.rst:105-109)."""
+    from pymgrit_tpu import Mgrit, simple_setup_problem
+    from pymgrit_tpu.models.dahlquist import Dahlquist
+    d = Dahlquist(t_start=0, t_stop=5, nt=101, precision='dd')
+    problem = simple_setup_problem(problem=d, level=2, coarsening=2)
+    mgrit = Mgrit(problem=problem, tol=1e-10, logging_lvl=30)
+    info = mgrit.solve_compiled()
+    return {"iterations": len(info["conv"]),
+            "conv": [float(f"{c:.4e}") for c in info["conv"]]}
+
+
+def run_spatial_row():
+    """BASELINE.json config 3: 4-level heat_2d WITH 2D spatial coarsening."""
+    from pymgrit_tpu.models.grid_transfer_heat import GridTransferHeat2D
+    cfg = CONFIGS["base65"]
+    spatial = [(65, 65), (33, 33), (17, 17), (9, 9)]
+    transfer = [GridTransferHeat2D(nx_fine=spatial[i][0], ny_fine=spatial[i][1])
+                for i in range(3)]
+    return run_ours("spatial65", max_iter=cfg["max_iter"], transfer=transfer,
+                    spatial=spatial, nx=cfg["nx"], ny=cfg["ny"],
+                    nt=cfg["nt"], ms=cfg["ms"])
 
 
 def parity_iters_cpu():
@@ -104,7 +182,8 @@ def parity_iters_cpu():
         "import json\n"
         "import bench\n"
         "from pymgrit_tpu import Mgrit\n"
-        "p = bench.build_problem()\n"
+        "cfg = bench.CONFIGS['base65']\n"
+        "p = bench.build_problem(nx=cfg['nx'], ny=cfg['ny'], nt=cfg['nt'], ms=cfg['ms'])\n"
         "m = Mgrit(problem=p, tol=1e-10, max_iter=20, logging_lvl=30)\n"
         "info = m.solve()\n"
         "print('PARITY' + json.dumps({'iterations': len(info['conv']),"
@@ -123,20 +202,33 @@ def parity_iters_cpu():
     return None
 
 
-def reference_baseline():
+def _load_cache():
     if os.path.exists(CACHE):
         with open(CACHE) as f:
-            return json.load(f)
+            data = json.load(f)
+        if "steps_per_sec" in data:        # round-1 layout: bare 65^2 result
+            data = {"base65": data}
+        return data
+    return {}
+
+
+def reference_baseline(key, argv):
+    """Reference steps/s, measured live once and cached per config."""
+    cache = _load_cache()
+    if key in cache:
+        return cache[key]
     env = dict(os.environ,
                PYTHONPATH=os.path.join(REPO, "tools", "mpi4py_stub") + ":" +
                "/root/reference/src")
     try:
         out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools", "bench_reference.py"), str(NT)],
+            [sys.executable, os.path.join(REPO, "tools", "bench_reference.py")]
+            + [str(a) for a in argv],
             env=env, capture_output=True, text=True, timeout=3600)
         data = json.loads(out.stdout.strip().splitlines()[-1])
+        cache[key] = data
         with open(CACHE, "w") as f:
-            json.dump(data, f)
+            json.dump(cache, f)
         return data
     except Exception:
         return None
@@ -144,26 +236,43 @@ def reference_baseline():
 
 def main():
     # Throughput is measured in f32 — the TPU production dtype (full-precision
-    # 6-pass matmuls; bf16-default would stall MGRIT).  fp64 parity to 1e-10
-    # is verified separately on the CPU backend (TPUs demote f64).
+    # 6-pass matmuls; bf16-default would stall MGRIT).  The dd rows verify the
+    # 1e-10 tolerance class ON THE CHIP; CPU-f64 parity is kept as cross-check.
     os.environ.setdefault("PYMGRIT_TPU_NO_X64", "1")
-    ours = run_ours()
-    ref = reference_baseline()
+
+    toms = run_ours("toms129", **CONFIGS["toms129"])
+    base = run_ours("base65", **CONFIGS["base65"])
+    spatial = run_spatial_row()
+    dd = run_dd_row()
+    dd_dahl = run_dahlquist_dd_row()
+
+    # reference at 129^2 (nt=1025, 3 levels m=4: per-step cost transfers)
+    ref_toms = reference_baseline("toms129", [1025, 129, 129, 3, 4])
+    ref_base = reference_baseline("base65", [4097])
     parity = parity_iters_cpu()
 
-    vs = (ours["steps_per_sec"] / ref["steps_per_sec"]) if ref else -1.0
+    vs = (toms["steps_per_sec"] / ref_toms["steps_per_sec"]) if ref_toms else -1.0
     result = {
-        "metric": "heat_2d 65x65 nt=4097 4-level MGRIT fine time-steps/sec/chip",
-        "value": round(ours["steps_per_sec"], 2),
+        "metric": "heat_2d 129x129 nt=16385 5-level (TOMS ex.3) MGRIT fine time-steps/sec/chip",
+        "value": round(toms["steps_per_sec"], 2),
         "unit": "steps/s",
         "vs_baseline": round(vs, 3) if vs > 0 else None,
-        "backend": ours["backend"],
-        "iterations_measured": ours["iterations"],
-        "solve_time_s": round(ours["solve_time_s"], 3),
-        "conv": [float(f"{c:.4e}") for c in ours["conv"]],
+        "backend": toms["backend"],
+        "iterations_measured": toms["iterations"],
+        "solve_time_s": round(toms["solve_time_s"], 3),
+        "conv": [float(f"{c:.4e}") for c in toms["conv"]],
+        "useful_tflops_per_sec": round(toms["useful_tflops_per_sec"], 3),
+        "mfu_vs_f32_highest_roofline": round(
+            toms["useful_tflops_per_sec"] * 1e12 / (PEAK_BF16 / F32_PASSES), 4),
+        "base65_steps_per_sec": round(base["steps_per_sec"], 2),
+        "base65_vs_reference": round(
+            base["steps_per_sec"] / ref_base["steps_per_sec"], 3) if ref_base else None,
+        "spatial65_steps_per_sec": round(spatial["steps_per_sec"], 2),
+        "spatial65_conv": [float(f"{c:.4e}") for c in spatial["conv"]],
+        "dd_heat2d": dd,
+        "dd_dahlquist": dd_dahl,
         "parity_iters_to_1e-10_cpu_f64": parity["iterations"] if parity else None,
-        "reference_steps_per_sec": round(ref["steps_per_sec"], 2) if ref else None,
-        "reference_iterations": ref["iterations"] if ref else None,
+        "reference_toms_steps_per_sec": round(ref_toms["steps_per_sec"], 2) if ref_toms else None,
     }
     print(json.dumps(result))
 

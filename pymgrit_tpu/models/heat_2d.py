@@ -36,20 +36,16 @@ class Heat2D(Application):
                  bc_right: Union[int, float, Callable] = 0,
                  bc_bottom: Union[int, float, Callable] = 0,
                  bc_top: Union[int, float, Callable] = 0,
-                 use_pallas: bool = False, precision: str = None, *args, **kwargs):
+                 precision: str = None, *args, **kwargs):
         super().__init__(*args, **kwargs)
         # precision='dd': double-double float32 state + Ozaki MXU spectral
         # solves (ops/dd.py, ops/ozaki.py) — fp64-class residual floors on
-        # hardware without fp64.  Mutually exclusive with use_pallas.
+        # hardware without fp64.
+        # (A fused Pallas variant of the batched spectral solve was built,
+        # A/B'd on chip at n in {63,127,255} x batch in {64,512}, and
+        # removed: it only beat XLA at small batches, never in the large-
+        # batch relaxation sweeps MGRIT actually runs — docs/performance.md.)
         self._dd = precision == 'dd'
-        if self._dd and use_pallas:
-            raise Exception("use_pallas and precision='dd' are mutually exclusive")
-        # Opt-in fused Pallas kernel for the batched implicit solve (the
-        # solver picks up step_batched when defined); requires jnp-
-        # broadcastable rhs callables.  XLA's own fusion is competitive at
-        # small n, so the default stays off.
-        if use_pallas:
-            self.step_batched = self._step_batched_pallas
         self.x = np.linspace(x_start, x_end, nx)
         self.y = np.linspace(y_start, y_end, ny)
         self.x_2d = self.x[:, np.newaxis]
@@ -220,37 +216,3 @@ class Heat2D(Application):
         new_int = self._solve_interior(shift, b_int)
         new = self._set_bc(self._zeros_like(u_start).at[1:-1, 1:-1].set(new_int))
         return new
-
-    def _step_batched_pallas(self, us, t0s, t1s):
-        """Batched theta-method step with the fused Pallas spectral solve
-        (ops/pallas_spectral.py); falls back to vmap for FE."""
-        from pymgrit_tpu.ops.pallas_spectral import batched_sine_solve_2d
-
-        if self.theta == 0.0:
-            return jax.vmap(self.step)(us, t0s, t1s)
-        dts = (t1s - t0s)[:, None, None]
-        t1b = t1s[:, None, None]
-        t0b = t0s[:, None, None]
-        if self.theta == 1.0:
-            b = jnp.zeros_like(us)
-            b = b.at[:, 1:-1, 1:-1].set(us[:, 1:-1, 1:-1] +
-                                        dts * self.rhs(x=self._xi, y=self._yi, t=t1b))
-        else:
-            b = us - self.theta * dts * jax.vmap(self._apply_L)(us)
-            b = b.at[:, 1:-1, 1:-1].add(
-                self.theta * dts * self.rhs(x=self._xi, y=self._yi, t=t1b)
-                + (1 - self.theta) * dts * self.rhs(x=self._xi, y=self._yi, t=t0b))
-        b = jax.vmap(self._set_bc)(b)
-
-        shift = self.theta * (t1s - t0s)
-        sb = shift[:, None]
-        b_int = b[:, 1:-1, 1:-1]
-        b_int = b_int.at[:, :, 0].add(sb * self.fy * b[:, 1:-1, 0])
-        b_int = b_int.at[:, :, -1].add(sb * self.fy * b[:, 1:-1, -1])
-        b_int = b_int.at[:, 0, :].add(sb * self.fx * b[:, 0, 1:-1])
-        b_int = b_int.at[:, -1, :].add(sb * self.fx * b[:, -1, 1:-1])
-        new_int = batched_sine_solve_2d(b_int, shift, jnp.asarray(self.Sx),
-                                        jnp.asarray(self.Sy), jnp.asarray(self.lamx),
-                                        jnp.asarray(self.lamy))
-        new = jnp.zeros_like(us).at[:, 1:-1, 1:-1].set(new_int)
-        return jax.vmap(self._set_bc)(new)

@@ -53,5 +53,12 @@ def main(nt=4097, nx=65, ny=65, levels=4, m=4, tol=1e-7, max_iter=10):
 
 
 if __name__ == "__main__":
+    # args: nt [nx [ny [levels [m]]]] — steps/s is dominated by per-step
+    # spsolve cost, so a reduced nt at the same spatial size measures the
+    # same steps/s as the full TOMS-scale run in bounded time.
     nt = int(sys.argv[1]) if len(sys.argv) > 1 else 4097
-    main(nt=nt)
+    nx = int(sys.argv[2]) if len(sys.argv) > 2 else 65
+    ny = int(sys.argv[3]) if len(sys.argv) > 3 else nx
+    levels = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    m = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+    main(nt=nt, nx=nx, ny=ny, levels=levels, m=m)
