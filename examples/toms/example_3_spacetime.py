@@ -30,8 +30,13 @@ import jax.numpy as jnp
 from pymgrit_tpu import Heat2D, Mgrit
 from pymgrit_tpu.parallel.sharding import make_time_space_mesh
 
-NX = NY = 65       # reference: 129 (DMDA refine of 65); 65 keeps CI fast
-NT = 2 ** 10 + 1   # reference: 2**14+1 (cluster-scale)
+# Default scale is CI-sized; the PAPER configuration (129x129, nt=2^14+1)
+# runs with PYMGRIT_TPU_TOMS_FULL=1 (bench.py measures it on TPU either
+# way — see docs/performance.md for the measured numbers).
+import os as _os
+_FULL = _os.environ.get("PYMGRIT_TPU_TOMS_FULL", "") == "1"
+NX = NY = 129 if _FULL else 65
+NT = 2 ** 14 + 1 if _FULL else 2 ** 10 + 1
 COARSENING = [32, 16, 4, 4]
 FREQ = 1
 A = 1.0
@@ -115,6 +120,8 @@ def run_mgrit(nt=NT, coarsening=COARSENING, cycle='V', n_time=None,
 
 
 def main():
+    print(f"TOMS example 3 at {NX}x{NY}, nt={NT} "
+          f"({'PAPER scale' if _FULL else 'CI scale; set PYMGRIT_TPU_TOMS_FULL=1 for 129x129, nt=2^14+1'})")
     seq = run_timestepping()
     print(f"time-stepping    : solve {seq['time_solve']:.3f}s "
           f"error {seq['error']:.3e}")
