@@ -45,7 +45,7 @@ CONFIGS = {
 }
 
 
-def build_problem(nx, ny, nt, ms, precision=None, spatial=None):
+def build_problem(nx, ny, nt, ms, precision=None, spatial=None, basis='physical'):
     """Heat2D hierarchy; ms = per-level-pair time coarsening factors;
     spatial = optional list of per-level (nx, ny) for spatial coarsening."""
     import numpy as np
@@ -66,7 +66,7 @@ def build_problem(nx, ny, nt, ms, precision=None, spatial=None):
         problem.append(Heat2D(x_start=0, x_end=1, y_start=0, y_end=1,
                               nx=nxl, ny=nyl, a=1.0, rhs=rhs,
                               init_cond=init_cond, t_interval=t[::stride],
-                              precision=precision))
+                              precision=precision, basis=basis))
         if lvl < len(ms):
             stride *= ms[lvl]
     return problem
@@ -89,12 +89,13 @@ def count_fine_steps_per_iter(mgrit, first):
 
 
 def run_ours(name, max_iter, tol=1e-300, precision=None, transfer=None,
-             spatial=None, **cfg):
+             spatial=None, basis='physical', **cfg):
     import jax
     import numpy as _np
     from pymgrit_tpu import Mgrit
 
-    problem = build_problem(precision=precision, spatial=spatial, **cfg)
+    problem = build_problem(precision=precision, spatial=spatial, basis=basis,
+                            **cfg)
     mgrit = Mgrit(problem=problem, transfer=transfer, tol=tol,
                   max_iter=max_iter, logging_lvl=30)
 
@@ -241,6 +242,7 @@ def main():
     os.environ.setdefault("PYMGRIT_TPU_NO_X64", "1")
 
     toms = run_ours("toms129", **CONFIGS["toms129"])
+    spectral = run_ours("toms129_spectral", basis='spectral', **CONFIGS["toms129"])
     base = run_ours("base65", **CONFIGS["base65"])
     spatial = run_spatial_row()
     dd = run_dd_row()
@@ -264,6 +266,8 @@ def main():
         "useful_tflops_per_sec": round(toms["useful_tflops_per_sec"], 3),
         "mfu_vs_f32_highest_roofline": round(
             toms["useful_tflops_per_sec"] * 1e12 / (PEAK_BF16 / F32_PASSES), 4),
+        "toms129_spectral_steps_per_sec": round(spectral["steps_per_sec"], 2),
+        "toms129_spectral_conv": [float(f"{c:.4e}") for c in spectral["conv"]],
         "base65_steps_per_sec": round(base["steps_per_sec"], 2),
         "base65_vs_reference": round(
             base["steps_per_sec"] / ref_base["steps_per_sec"], 3) if ref_base else None,

@@ -287,18 +287,32 @@ class Mgrit:
         t = info.t
         # seeds: owning C-points u[0, m, 2m, ...] for each interval
         x = jax.tree_util.tree_map(lambda a: a[0:nt - 1:m], u)
-        t_prev = self._as_t(np.stack([t[j * m:j * m + m - 1] for j in range(J)], 1))  # (m-1, J)
-        t_curr = self._as_t(np.stack([t[j * m + 1:j * m + m] for j in range(J)], 1))
+        tp_np = np.stack([t[j * m:j * m + m - 1] for j in range(J)], 1)  # (m-1, J)
+        tc_np = np.stack([t[j * m + 1:j * m + m] for j in range(J)], 1)
         vstep = self._vstep(lvl)
 
         if lvl == 0:
-            def body(carry, inp):
-                tp, tc = inp
-                stepped = vstep(carry, tp, tc)
-                return stepped, stepped
+            # Optional model fast path: a linear/affine stepper can produce
+            # ALL m-1 intra-interval F-values from the seed in one closed-
+            # form batched expression (e.g. Heat2D spectral mode: powers of
+            # the elementwise update map), replacing the sequential scan.
+            # The hook gets the STATIC numpy block times and returns the
+            # (m-1, J, ...) pytree, or None to decline.
+            hook = getattr(self.problem[lvl], "relax_interval", None)
+            ys = hook(x, tp_np, tc_np) if hook is not None else None
+            if ys is None:
+                t_prev = self._as_t(tp_np)
+                t_curr = self._as_t(tc_np)
 
-            _, ys = jax.lax.scan(body, x, (t_prev, t_curr))
+                def body(carry, inp):
+                    tp, tc = inp
+                    stepped = vstep(carry, tp, tc)
+                    return stepped, stepped
+
+                _, ys = jax.lax.scan(body, x, (t_prev, t_curr))
         else:
+            t_prev = self._as_t(tp_np)
+            t_curr = self._as_t(tc_np)
             _, g_blocks = self._split_blocks(g, lvl)  # (J, m, ...)
             g_f = jax.tree_util.tree_map(lambda a: jnp.moveaxis(a[:, :m - 1], 1, 0),
                                          g_blocks)   # (m-1, J, ...)

@@ -36,8 +36,23 @@ class Heat2D(Application):
                  bc_right: Union[int, float, Callable] = 0,
                  bc_bottom: Union[int, float, Callable] = 0,
                  bc_top: Union[int, float, Callable] = 0,
-                 precision: str = None, *args, **kwargs):
+                 precision: str = None, basis: str = 'physical',
+                 *args, **kwargs):
         super().__init__(*args, **kwargs)
+        # basis='spectral': the state IS the sine-eigenbasis coefficient
+        # array of the interior — every step becomes a handful of
+        # *elementwise* VPU ops (no matmuls in the hot loop at all); see
+        # the derivation at _step_spectral.  Residual histories are
+        # identical to the physical basis because the basis is orthonormal
+        # and all of MGRIT's algebra is orthogonally invariant.
+        if basis not in ('physical', 'spectral'):
+            raise Exception("basis must be 'physical' or 'spectral'")
+        self._spectral = basis == 'spectral'
+        if self._spectral and method == 'FE':
+            # the reference's FE quirk accumulates bc data onto the carried
+            # boundary ring (heat_2d.py:333-343) — there is no boundary ring
+            # in coefficient space to carry it on
+            raise Exception("basis='spectral' supports BE/CN (theta > 0) only")
         # precision='dd': double-double float32 state + Ozaki MXU spectral
         # solves (ops/dd.py, ops/ozaki.py) — fp64-class residual floors on
         # hardware without fp64.
@@ -86,6 +101,7 @@ class Heat2D(Application):
         # Interior eigenbasis: axis 0 (x) couples with fx, axis 1 (y) with fy.
         self.Sx, self.lamx = sine_eigenbasis(nx - 2, self.fx)
         self.Sy, self.lamy = sine_eigenbasis(ny - 2, self.fy)
+        self._Sx_np, self._Sy_np = self.Sx, self.Sy   # numpy copies (f64)
 
         self._xi = self.x_2d[1:-1]       # (nx-2, 1)
         self._yi = self.y_2d[:, 1:-1]    # (1, ny-2)
@@ -101,14 +117,43 @@ class Heat2D(Application):
         init[0, :] = np.asarray(self.bc_top_arr)
         self.vector_t_start = init
 
+        if self._spectral:
+            # Derivation (theta-method on the interior, boundary ring = the
+            # constant-in-time Dirichlet data, which every solver state
+            # carries at the boundary — FAS residuals/g have zero boundary):
+            #   (I + th*dt*L_int) u' = u - th'*dt*(L_int u + E)
+            #                          + dt*rhs_mix + th*dt*LIFT
+            # with E = -LIFT (the bc coupling of the stencil), th' = theta
+            # for CN (explicit half), absent for BE.  Diagonalizing by the
+            # orthonormal sine basis makes every term elementwise:
+            #   u'^ = (u^ (1 - th'*dt*Lam) + (th+th')*dt*lift^ + dt*rhs^ )
+            #         / (1 + th*dt*Lam)
+            lift = np.zeros((nx - 2, ny - 2))
+            lift[:, 0] += self.fy * self.bc_left_arr[1:-1]
+            lift[:, -1] += self.fy * self.bc_right_arr[1:-1]
+            lift[0, :] += self.fx * self.bc_top_arr[1:-1]
+            lift[-1, :] += self.fx * self.bc_bottom_arr[1:-1]
+            self._lift_hat = self._Sx_np @ lift @ self._Sy_np
+            self._Lam = self.lamx[:, None] + self.lamy[None, :]
+            self._lift_hat_np = self._lift_hat   # f64 copies for the
+            self._Lam_np = self._Lam             # closed-form interval tables
+            self._itbl_cache = {}
+            self.vector_template = np.zeros((nx - 2, ny - 2))
+            self.vector_t_start = self._Sx_np @ init[1:-1, 1:-1] @ self._Sy_np
+
         if self._dd:
             from pymgrit_tpu.ops import dd
-            self.Sx = dd.from_f64(self.Sx)
-            self.Sy = dd.from_f64(self.Sy)
-            self.lamx = dd.from_f64(self.lamx)
-            self.lamy = dd.from_f64(self.lamy)
-            self.vector_template = dd.from_f64(self.vector_template)
-            self.vector_t_start = dd.from_f64(init)
+            if self._spectral:
+                self._lift_hat = dd.from_f64(self._lift_hat)
+                self._Lam = dd.from_f64(self._Lam)
+            else:
+                self.Sx = dd.from_f64(self.Sx)
+                self.Sy = dd.from_f64(self.Sy)
+                self.lamx = dd.from_f64(self.lamx)
+                self.lamy = dd.from_f64(self.lamy)
+            self.vector_template = dd.from_f64(np.asarray(self.vector_template))
+            self.vector_t_start = dd.from_f64(np.asarray(self.vector_t_start))
+        if self._dd or self._spectral:
             self._build_rhs_table()
 
     # ------------------------------------------------------------------
@@ -125,25 +170,46 @@ class Heat2D(Application):
         callables (jnp.sin(t), ...) round differently in vectorized vs
         scalar XLA contexts, de-synchronizing the solver phases and flooring
         the DD residual at ~|u|*eps_f32; a single evaluation context makes
-        every phase consume bitwise-identical samples."""
+        every phase consume bitwise-identical samples.  In spectral-basis
+        mode the samples are stored pre-transformed (rhs^ = Sx rhs Sy), so
+        the hot loop never touches a matmul."""
         import jax
         shp = (self.nx - 2, self.ny - 2)
-        ts = jnp.asarray(np.asarray(self.t, dtype=np.float32))
-        tbl = jax.jit(jax.vmap(
-            lambda tt: self.rhs(x=self._xi, y=self._yi, t=tt) *
-            jnp.ones(shp, dtype=jnp.float32)))(ts)
+        if self._dd:
+            ts = jnp.asarray(np.asarray(self.t, dtype=np.float32))
+            one = jnp.ones(shp, dtype=jnp.float32)
+        else:
+            ts = jnp.asarray(self.t)
+            one = jnp.ones(shp)
+        Sx = jnp.asarray(self._Sx_np)
+        Sy = jnp.asarray(self._Sy_np)
+
+        def sample(tt):
+            r = self.rhs(x=self._xi, y=self._yi, t=tt) * one
+            if self._spectral:
+                r = (Sx @ r @ Sy).astype(one.dtype)
+            return r
+
+        tbl = jax.jit(jax.vmap(sample))(ts)
         if bool(jax.jit(lambda a: jnp.all(a == a[0:1]))(tbl)):
             self._rhs_tbl, self._rhs_tbl_times = tbl[:1], ts[:1]
         else:
             self._rhs_tbl, self._rhs_tbl_times = tbl, ts
+        # host copy of the first slice for the closed-form interval tables
+        # (must be numpy: _interval_tables runs inside jit traces, where
+        # indexing even a concrete device array yields a tracer)
+        self._rhs_tbl0_np = np.asarray(self._rhs_tbl[0], dtype=np.float64)
 
     def _rhs_at(self, t):
-        """rhs(x, y, t) for a (possibly DD) time value; DD grid times hit
-        the precomputed table (see _build_rhs_table)."""
+        """rhs(x, y, t) for a (possibly DD) time value.  In DD or spectral
+        mode, grid times hit the precomputed table (see _build_rhs_table);
+        off-grid times fall back to a runtime evaluation (transformed in
+        spectral mode)."""
         from pymgrit_tpu.ops.dd import DD
-        if not isinstance(t, DD):
+        if not (self._dd or self._spectral):
             return self.rhs(x=self._xi, y=self._yi, t=t)
-        tv = t.to_float()
+        tv = t.to_float() if isinstance(t, DD) else t
+        tv = jnp.asarray(tv, dtype=self._rhs_tbl_times.dtype)
         idx = jnp.clip(jnp.searchsorted(self._rhs_tbl_times, tv),
                        0, self._rhs_tbl.shape[0] - 1)
         idx = jnp.where((idx > 0) &
@@ -154,7 +220,10 @@ class Heat2D(Application):
         if self._rhs_tbl.shape[0] == 1:
             on_grid = jnp.asarray(True)
         runtime = self.rhs(x=self._xi, y=self._yi, t=tv) * \
-            jnp.ones((self.nx - 2, self.ny - 2), dtype=jnp.float32)
+            jnp.ones((self.nx - 2, self.ny - 2), dtype=self._rhs_tbl.dtype)
+        if self._spectral:
+            runtime = (jnp.asarray(self._Sx_np) @ runtime @
+                       jnp.asarray(self._Sy_np)).astype(self._rhs_tbl.dtype)
         return jnp.where(on_grid, self._rhs_tbl[idx], runtime)
 
     def _apply_L(self, u):
@@ -181,7 +250,101 @@ class Heat2D(Application):
         denom = 1.0 + shift * (self.lamx[:, None] + self.lamy[None, :])
         return self.Sx @ (bh / denom) @ self.Sy
 
+    def _step_spectral(self, u, t_start, t_stop):
+        """Theta-method step entirely in eigen-coefficient space: a few
+        elementwise VPU ops, zero matmuls (see constructor derivation).
+        Operator-polymorphic: works for f32/f64 arrays and DD pairs."""
+        dt = t_stop - t_start
+        shift = dt * self.theta
+        if self.theta == 1.0:
+            b = u + dt * self._rhs_at(t_stop) + shift * self._lift_hat
+        else:
+            b = (u - shift * (u * self._Lam)) \
+                + (shift * 2.0) * self._lift_hat \
+                + dt * (self.theta * self._rhs_at(t_stop)
+                        + (1 - self.theta) * self._rhs_at(t_start))
+        return b / (1.0 + shift * self._Lam)
+
+    def _interval_tables(self, dt, m1):
+        """Per-level closed-form relaxation tables: the spectral theta-step
+        is the affine elementwise map u -> A*u + c, so the k-th F-point of
+        an interval is A^k * seed + G_k with G_k = A*G_{k-1} + c.  Built in
+        f64 on the host (the geometric recurrence is cancellation-prone in
+        f32 for small dt*Lam), cached per (dt, m-1)."""
+        key = (float(dt), int(m1))
+        if key in self._itbl_cache:
+            return self._itbl_cache[key]
+        th = self.theta
+        thp = 0.0 if th == 1.0 else th           # explicit half (CN)
+        Lam = self._Lam_np
+        denom = 1.0 + th * dt * Lam
+        A = (1.0 - thp * dt * Lam) / denom
+        rhs0 = self._rhs_tbl0_np
+        c = ((th + thp) * dt * self._lift_hat_np + dt * rhs0) / denom
+        A_k = np.empty((m1,) + Lam.shape)
+        G_k = np.empty((m1,) + Lam.shape)
+        A_k[0], G_k[0] = A, c
+        for k in range(1, m1):
+            A_k[k] = A_k[k - 1] * A
+            G_k[k] = A * G_k[k - 1] + c
+        # Cache NUMPY only: this runs inside jit traces, where any jnp
+        # construction returns a tracer — caching one across traces is a
+        # leak.  numpy constants fold in at each trace harmlessly.
+        if self._dd:
+            def split(a):
+                hi = a.astype(np.float32)
+                return hi, (a - hi.astype(np.float64)).astype(np.float32)
+            out = (split(A_k), split(G_k))
+        else:
+            out = (A_k, G_k)
+        self._itbl_cache[key] = out
+        return out
+
+    def relax_interval(self, seed, t_prev, t_curr):
+        """Solver fast-path hook (core/solver.py:_f_relax_uniform): all m-1
+        F-values of every interval in ONE batched elementwise expression —
+        no sequential scan.  Declines (None) unless basis='spectral' with a
+        uniform dt and a time-independent rhs."""
+        if not self._spectral:
+            return None
+        dts = np.asarray(t_curr, np.float64) - np.asarray(t_prev, np.float64)
+        if dts.size == 0:
+            return None
+        dt = float(dts.flat[0])
+        if not np.allclose(dts, dt, rtol=1e-12, atol=0.0):
+            return None
+        if self._rhs_tbl.shape[0] != 1:
+            return None                           # time-dependent rhs
+        m1 = t_prev.shape[0]
+        A_t, G_t = self._interval_tables(dt, m1)
+        if self._dd:
+            from pymgrit_tpu.ops.dd import _raw
+            A_k = _raw(jnp.asarray(A_t[0]), jnp.asarray(A_t[1]))
+            G_k = _raw(jnp.asarray(G_t[0]), jnp.asarray(G_t[1]))
+            return A_k[:, None] * seed[None] + G_k[:, None]
+        # seed first so the traced operand drives the dtype/dispatch
+        return seed[None] * A_t[:, None] + G_t[:, None]
+
+    def to_physical(self, u_hat):
+        """Spectral coefficients -> full (..., nx, ny) field with the
+        Dirichlet boundary ring (for output/plotting)."""
+        from pymgrit_tpu.ops.dd import DD
+        if isinstance(u_hat, DD):
+            u_hat = u_hat.to_float()
+        interior = jnp.einsum('ij,...jk,kl->...il', jnp.asarray(self._Sx_np),
+                              u_hat, jnp.asarray(self._Sy_np))
+        out = jnp.zeros(u_hat.shape[:-2] + (self.nx, self.ny),
+                        dtype=interior.dtype)
+        out = out.at[..., 1:-1, 1:-1].set(interior)
+        out = out.at[..., :, 0].set(jnp.asarray(self.bc_left_arr))
+        out = out.at[..., :, -1].set(jnp.asarray(self.bc_right_arr))
+        out = out.at[..., -1, :].set(jnp.asarray(self.bc_bottom_arr))
+        out = out.at[..., 0, :].set(jnp.asarray(self.bc_top_arr))
+        return out
+
     def step(self, u_start, t_start, t_stop):
+        if self._spectral:
+            return self._step_spectral(u_start, t_start, t_stop)
         dt = t_stop - t_start
         if self.theta == 0.0:
             # FE (heat_2d.py:330-346).  Note the reference *adds* the BC data

@@ -127,7 +127,12 @@ def test_bench_config_cross():
 
     with open(os.path.join(REPO, "BENCH_BASELINE_CACHE.json")) as f:
         ref = json.load(f)
-    m = Mgrit(problem=bench_mod.build_problem(), tol=1e-7, max_iter=10, logging_lvl=30)
+    if "steps_per_sec" not in ref:        # round-2 cache: dict per config
+        ref = ref["base65"]
+    cfg = bench_mod.CONFIGS["base65"]
+    problem = bench_mod.build_problem(nx=cfg["nx"], ny=cfg["ny"],
+                                      nt=cfg["nt"], ms=cfg["ms"])
+    m = Mgrit(problem=problem, tol=1e-7, max_iter=10, logging_lvl=30)
     conv = m.solve_compiled()['conv']
     assert len(conv) == ref["iterations"]
     np.testing.assert_allclose(conv, ref["conv"], rtol=1e-4)
