@@ -25,8 +25,16 @@ class Heat1D(Application):
 
     def __init__(self, x_start: float, x_end: float, nx: int, a: float,
                  init_cond: Callable = lambda x: x * 0, rhs: Callable = lambda x, t: x * 0,
-                 precision: str = None, *args, **kwargs):
+                 precision: str = None, basis: str = 'physical',
+                 *args, **kwargs):
         super().__init__(*args, **kwargs)
+        # basis='spectral': state = sine-eigenbasis coefficients; the BE
+        # step is elementwise (homogeneous Dirichlet -> no boundary lift)
+        # and F-relaxation uses the closed-form interval map (see Heat2D).
+        # Histories identical to the physical basis (orthonormal basis).
+        if basis not in ('physical', 'spectral'):
+            raise Exception("basis must be 'physical' or 'spectral'")
+        self._spectral = basis == 'spectral'
         self.x_start = x_start
         self.x_end = x_end
         x = np.linspace(x_start, x_end, nx)
@@ -46,17 +54,22 @@ class Heat1D(Application):
         # Ozaki MXU kernel (ops/ozaki.py), reaching fp64-class residual
         # floors on hardware without fp64.  The step body is unchanged.
         self._dd = precision == 'dd'
+        self._S_np = self.S                    # numpy copy (f64)
+        self.vector_template = np.zeros(self.nx)
+        self.vector_t_start = np.asarray(init_cond(self.x), dtype=np.float64)
+        if self._spectral:
+            self._lam_np = self.lam
+            self._itbl_cache = {}
+            self.vector_t_start = self._S_np @ self.vector_t_start
         if self._dd:
             from pymgrit_tpu.ops import dd
-            self.S = dd.from_f64(self.S)
+            if not self._spectral:
+                self.S = dd.from_f64(self.S)
             self.lam = dd.from_f64(self.lam)
-            self.vector_template = dd.from_f64(np.zeros(self.nx))
-            self.vector_t_start = dd.from_f64(
-                np.asarray(init_cond(self.x), dtype=np.float64))
+            self.vector_template = dd.from_f64(np.asarray(self.vector_template))
+            self.vector_t_start = dd.from_f64(np.asarray(self.vector_t_start))
+        if self._dd or self._spectral:
             self._build_rhs_table()
-        else:
-            self.vector_template = np.zeros(self.nx)
-            self.vector_t_start = np.asarray(init_cond(self.x), dtype=np.float64)
 
     def _build_rhs_table(self):
         """Tabulate rhs(x, t) over this level's grid times in ONE batched
@@ -67,14 +80,27 @@ class Heat1D(Application):
         floors the DD residual at ~|u|*eps_f32.  A single evaluation context
         makes every phase consume bitwise-identical samples."""
         import jax
-        ts = jnp.asarray(np.asarray(self.t, dtype=np.float32))
-        tbl = jax.jit(jax.vmap(lambda tt: self.rhs(self._x_j, tt) *
-                               jnp.ones(self.nx, dtype=jnp.float32)))(ts)
+        if self._dd:
+            ts = jnp.asarray(np.asarray(self.t, dtype=np.float32))
+            one = jnp.ones(self.nx, dtype=jnp.float32)
+        else:
+            ts = jnp.asarray(self.t)
+            one = jnp.ones(self.nx)
+        S = jnp.asarray(self._S_np)
+
+        def sample(tt):
+            r = self.rhs(self._x_j, tt) * one
+            if self._spectral:
+                r = (S @ r).astype(one.dtype)
+            return r
+
+        tbl = jax.jit(jax.vmap(sample))(ts)
         if bool(jax.jit(lambda a: jnp.all(a == a[0:1]))(tbl)):
             # time-independent rhs: keep one slice (big-nt memory saver)
             self._rhs_tbl, self._rhs_tbl_times = tbl[:1], ts[:1]
         else:
             self._rhs_tbl, self._rhs_tbl_times = tbl, ts
+        self._rhs_tbl0_np = np.asarray(self._rhs_tbl[0], dtype=np.float64)
 
     def _rhs_at(self, t):
         """b(x, t) evaluated with jnp so traced t works.  User callables must
@@ -82,9 +108,10 @@ class Heat1D(Application):
         mode, grid times hit the precomputed table (see _build_rhs_table);
         off-grid times fall back to a runtime evaluation."""
         from pymgrit_tpu.ops.dd import DD
-        if not isinstance(t, DD):
+        if not (self._dd or self._spectral):
             return self.rhs(self._x_j, t)
-        tv = t.to_float()
+        tv = t.to_float() if isinstance(t, DD) else t
+        tv = jnp.asarray(tv, dtype=self._rhs_tbl_times.dtype)
         idx = jnp.clip(jnp.searchsorted(self._rhs_tbl_times, tv),
                        0, self._rhs_tbl.shape[0] - 1)
         idx = jnp.where((idx > 0) &
@@ -94,10 +121,70 @@ class Heat1D(Application):
         on_grid = self._rhs_tbl_times[idx] == tv
         if self._rhs_tbl.shape[0] == 1:
             on_grid = jnp.asarray(True)   # time-independent rhs
-        runtime = self.rhs(self._x_j, tv) * jnp.ones(self.nx, dtype=jnp.float32)
+        runtime = self.rhs(self._x_j, tv) * jnp.ones(self.nx,
+                                                     dtype=self._rhs_tbl.dtype)
+        if self._spectral:
+            runtime = (jnp.asarray(self._S_np) @ runtime).astype(self._rhs_tbl.dtype)
         return jnp.where(on_grid, self._rhs_tbl[idx], runtime)
+
+    def _interval_tables(self, dt, m1):
+        """Closed-form relaxation tables (see Heat2D._interval_tables):
+        BE in eigenspace is u -> A*u + c with A = 1/(1+dt*lam),
+        c = dt*rhs0^/(1+dt*lam); cached as numpy per (dt, m-1)."""
+        key = (float(dt), int(m1))
+        if key in self._itbl_cache:
+            return self._itbl_cache[key]
+        lam = self._lam_np
+        A = 1.0 / (1.0 + dt * lam)
+        c = dt * self._rhs_tbl0_np * A
+        A_k = np.empty((m1,) + lam.shape)
+        G_k = np.empty((m1,) + lam.shape)
+        A_k[0], G_k[0] = A, c
+        for k in range(1, m1):
+            A_k[k] = A_k[k - 1] * A
+            G_k[k] = A * G_k[k - 1] + c
+        if self._dd:
+            def split(a):
+                hi = a.astype(np.float32)
+                return hi, (a - hi.astype(np.float64)).astype(np.float32)
+            out = (split(A_k), split(G_k))
+        else:
+            out = (A_k, G_k)
+        self._itbl_cache[key] = out
+        return out
+
+    def relax_interval(self, seed, t_prev, t_curr):
+        """Solver fast-path hook (core/solver.py:_f_relax_uniform): all m-1
+        F-values per interval in one batched elementwise expression."""
+        if not self._spectral:
+            return None
+        dts = np.asarray(t_curr, np.float64) - np.asarray(t_prev, np.float64)
+        if dts.size == 0:
+            return None
+        dt = float(dts.flat[0])
+        if not np.allclose(dts, dt, rtol=1e-12, atol=0.0):
+            return None
+        if self._rhs_tbl.shape[0] != 1:
+            return None
+        m1 = t_prev.shape[0]
+        A_t, G_t = self._interval_tables(dt, m1)
+        if self._dd:
+            from pymgrit_tpu.ops.dd import _raw
+            A_k = _raw(jnp.asarray(A_t[0]), jnp.asarray(A_t[1]))
+            G_k = _raw(jnp.asarray(G_t[0]), jnp.asarray(G_t[1]))
+            return A_k[:, None] * seed[None] + G_k[:, None]
+        return seed[None] * A_t[:, None] + G_t[:, None]
+
+    def to_physical(self, u_hat):
+        """Spectral coefficients -> interior values (for output)."""
+        from pymgrit_tpu.ops.dd import DD
+        if isinstance(u_hat, DD):
+            u_hat = u_hat.to_float()
+        return jnp.einsum('ij,...j->...i', jnp.asarray(self._S_np), u_hat)
 
     def step(self, u_start, t_start, t_stop):
         dt = t_stop - t_start
+        if self._spectral:
+            return (u_start + dt * self._rhs_at(t_stop)) / (1.0 + dt * self.lam)
         b = u_start + dt * self._rhs_at(t_stop)
         return solve_shifted_1d(self.S, self.lam, dt, b)

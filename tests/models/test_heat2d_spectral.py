@@ -97,3 +97,28 @@ def test_spectral_closed_form_relaxation_matches():
         assert len(h) == len(base)
         np.testing.assert_allclose(h[:-1], base[:-1], rtol=1e-6)
         assert h[-1] < 1e-9
+
+
+def test_heat1d_spectral_matches_physical():
+    """Heat1D basis='spectral' (elementwise BE in eigenspace + closed-form
+    interval relaxation) matches the physical basis, f64 and DD, for both
+    time-dependent (scan path) and time-independent (fast path) rhs."""
+    from pymgrit_tpu.models.heat_1d import Heat1D
+
+    for rhs in (lambda x, t: -jnp.sin(jnp.pi * x) * (jnp.sin(t) - jnp.pi ** 2 * jnp.cos(t)),
+                lambda x, t: jnp.sin(jnp.pi * x) * jnp.ones_like(t * x)):
+        hist = {}
+        for basis, prec in (('physical', None), ('spectral', None),
+                            ('spectral', 'dd')):
+            mk = lambda nt: Heat1D(x_start=0, x_end=2, nx=33, a=1, rhs=rhs,
+                                   init_cond=lambda x: np.sin(np.pi * x),
+                                   t_start=0, t_stop=2, nt=nt, basis=basis,
+                                   precision=prec)
+            m = Mgrit(problem=[mk(65), mk(17), mk(5)], tol=1e-9, max_iter=8,
+                      logging_lvl=30)
+            hist[(basis, prec)] = m.solve()['conv']
+        base = hist[('physical', None)]
+        for k, h in hist.items():
+            assert len(h) == len(base), (k, h, base)
+            np.testing.assert_allclose(h[:-1], base[:-1], rtol=1e-5)
+            assert h[-1] < 1e-9
