@@ -145,6 +145,10 @@ class ShardedMgrit:
 
         self.step_fns = [p.step for p in problem]
         self.state_norm = getattr(problem[0], "state_norm", vector.norm)
+        # Double-double states (ops/dd.py): time values must be DD-split
+        # (f32-cast t would perturb every dt at 1e-7); all structural tube
+        # ops below go through tree_map so DD components flow through.
+        self._dd = vector.contains_dd(problem[0].vector_template)
         if transfer is None:
             from pymgrit_tpu.core.grid_transfer import GridTransferCopy
             transfer = [GridTransferCopy() for _ in range(self.lvl_max - 1)]
@@ -160,6 +164,20 @@ class ShardedMgrit:
     # ------------------------------------------------------------------
     # layout helpers
     # ------------------------------------------------------------------
+
+    def _as_t(self, arr):
+        """Host f64 time values -> step inputs (exact DD split in DD mode)."""
+        if self._dd:
+            from pymgrit_tpu.ops import dd as _ddm
+            return _ddm.from_f64(np.asarray(arr))
+        return jnp.asarray(arr)
+
+    @staticmethod
+    def _tmap(fn, *xs):
+        """tree_map that treats plain arrays as single leaves and recurses
+        into DD components — lets time-array manipulation (concat, slices)
+        work identically for both representations."""
+        return jax.tree_util.tree_map(fn, *xs)
 
     def _blockify(self, tube, lvl):
         """(nt, ...) -> (blocks (J_pad, m, ...), last); phantom blocks zero."""
@@ -189,7 +207,7 @@ class ShardedMgrit:
         m = self.m_eff[lvl]
         Jp = self.J_pad[lvl]
         t_blocks = self.t_pad[lvl][:Jp * m].reshape(Jp, m)
-        return jnp.asarray(t_blocks)
+        return self._as_t(t_blocks)
 
     def _build_state(self, nested):
         state = {}
@@ -316,7 +334,9 @@ class ShardedMgrit:
         # local t slab: use axis_index to slice the global (J_pad, m) times
         idx = jax.lax.axis_index("time")
         Jloc = self.Jloc[lvl]
-        t_loc = jax.lax.dynamic_slice_in_dim(t_blocks, idx * Jloc, Jloc, 0)  # (Jloc, m)
+        t_loc = self._tmap(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, idx * Jloc, Jloc, 0),
+            t_blocks)  # (Jloc, m)
 
         x = jax.tree_util.tree_map(lambda b: b[:, 0], blocks)
 
@@ -350,20 +370,23 @@ class ShardedMgrit:
         m = self.m_eff[lvl]
         Jp = self.J_pad[lvl]
         t = self.t_pad[lvl]
-        tc = jnp.asarray(t[np.arange(Jp) * m])               # C time of block j
-        tprev = jnp.asarray(t[np.arange(1, Jp + 1) * m - 1])  # last F of block j
+        tc = self._as_t(t[np.arange(Jp) * m])               # C time of block j
+        tprev = self._as_t(t[np.arange(1, Jp + 1) * m - 1])  # last F of block j
         return tc, tprev
 
     def _local_slice(self, arr, Jloc):
         idx = jax.lax.axis_index("time")
-        return jax.lax.dynamic_slice_in_dim(arr, idx * Jloc, Jloc, 0)
+        return self._tmap(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, idx * Jloc, Jloc, 0), arr)
 
     def _c_relax_sm(self, lvl, u):
         Jloc = self.Jloc[lvl]
         tc_all, tprevf_all = self._block_c_times(lvl)
         # C of block j (j>=1) updates from block j-1's last F over
         # [tprevf[j-1], tc[j]]
-        tp = self._local_slice(jnp.concatenate([tprevf_all[:1], tprevf_all[:-1]]), Jloc)
+        tp = self._local_slice(
+            self._tmap(lambda a: jnp.concatenate([a[:1], a[:-1]]), tprevf_all),
+            Jloc)
         tcu = self._local_slice(tc_all, Jloc)
         prev_f = self._halo_prev_f(u["blocks"], lvl)
         stepped = self._vstep(lvl)(prev_f, tp, tcu)
@@ -387,7 +410,7 @@ class ShardedMgrit:
         t_lvl = self.levels[lvl].t
         stepped_last = self.step_fns[lvl](
             self._global_last_f(u["blocks"], lvl),
-            jnp.asarray(t_lvl[-2]), jnp.asarray(t_lvl[-1]))
+            self._as_t(t_lvl[-2]), self._as_t(t_lvl[-1]))
         if lvl > 0:
             stepped_last = vector.add(u["g_last"], stepped_last)
         if self.weight_c != 1.0:
@@ -421,7 +444,9 @@ class ShardedMgrit:
 
         # g = R(step_f(u_prevF) - u_C [+ g terms]) + v - step_c(v_prev)
         tc_all, tprevf_all = self._block_c_times(lvl)
-        tp = self._local_slice(jnp.concatenate([tprevf_all[:1], tprevf_all[:-1]]), Jloc)
+        tp = self._local_slice(
+            self._tmap(lambda a: jnp.concatenate([a[:1], a[:-1]]), tprevf_all),
+            Jloc)
         tcu = self._local_slice(tc_all, Jloc)
         prev_f = self._halo_prev_f(u["blocks"], lvl)
         stepped_f = self._vstep(lvl)(prev_f, tp, tcu)
@@ -446,8 +471,8 @@ class ShardedMgrit:
         t_cpad = self.t_pad[lvl + 1]
         Jp = self.J_pad[lvl]
         tcp = self._local_slice(
-            jnp.asarray(np.concatenate([t_cpad[0:1], t_cpad[:Jp - 1]])), Jloc)
-        tcc = self._local_slice(jnp.asarray(t_cpad[:Jp]), Jloc)
+            self._as_t(np.concatenate([t_cpad[0:1], t_cpad[:Jp - 1]])), Jloc)
+        tcc = self._local_slice(self._as_t(t_cpad[:Jp]), Jloc)
         stepped_c = self._vstep(lvl + 1)(v_prev, tcp, tcc)
         g_flat = vector.add(inner, vector.sub(v_flat, stepped_c))
         # global coarse point 0 keeps g = 0 (never used)
@@ -462,15 +487,15 @@ class ShardedMgrit:
         # g_last: for the global last coarse point
         t_coarse = self.levels[lvl + 1].t
         last_innerf = self.step_fns[lvl](self._global_last_f(u["blocks"], lvl),
-                                         jnp.asarray(li.t[-2]), jnp.asarray(li.t[-1]))
+                                         self._as_t(li.t[-2]), self._as_t(li.t[-1]))
         if lvl == 0:
             inner_last = vector.sub(last_innerf, u["last"])
         else:
             inner_last = vector.add(vector.sub(u["g_last"], u["last"]), last_innerf)
         inner_last = self.restrict_fns[lvl](inner_last)
         v_prev_last = self._select_global(v_flat, lvl, self.J_real[lvl] - 1)
-        stepped_cl = self.step_fns[lvl + 1](v_prev_last, jnp.asarray(t_coarse[-2]),
-                                            jnp.asarray(t_coarse[-1]))
+        stepped_cl = self.step_fns[lvl + 1](v_prev_last, self._as_t(t_coarse[-2]),
+                                            self._as_t(t_coarse[-1]))
         g_last = vector.add(inner_last, vector.sub(v_last, stepped_cl))
 
         return {**u_c, "blocks": new_cblocks, "last": new_clast,
@@ -519,7 +544,7 @@ class ShardedMgrit:
         g_seq = jax.tree_util.tree_map(
             lambda gf, gl: jnp.concatenate([gf[1:], gl[None]], axis=0)
             .at[J_real - 1].set(gl), g_flat, u["g_last"])
-        t = jnp.asarray(self.t_pad[lvl])
+        t = self._as_t(self.t_pad[lvl])
         step = self.step_fns[lvl]
 
         def body(carry, inp):
@@ -613,15 +638,16 @@ class ShardedMgrit:
             # residual: || Phi(u_{prevF}) - u_C || per C-point
             tc_all, tprevf_all = self._block_c_times(0)
             tp = self._local_slice(
-                jnp.concatenate([tprevf_all[:1], tprevf_all[:-1]]), Jloc)
+                self._tmap(lambda a: jnp.concatenate([a[:1], a[:-1]]),
+                           tprevf_all), Jloc)
             tcu = self._local_slice(tc_all, Jloc)
             prev_f = self._halo_prev_f(u["blocks"], 0)
             stepped = self._vstep(0)(prev_f, tp, tcu)
             r = vector.sub(stepped, c_now)
             norms = jax.vmap(self.state_norm)(r)
             lastf = self._global_last_f(u["blocks"], 0)
-            stepped_last = self.step_fns[0](lastf, jnp.asarray(li.t[-2]),
-                                            jnp.asarray(li.t[-1]))
+            stepped_last = self.step_fns[0](lastf, self._as_t(li.t[-2]),
+                                            self._as_t(li.t[-1]))
             n_last = self.state_norm(vector.sub(stepped_last, u["last"]))
         else:
             # jump: || u_C - u_C_prev_iter || per C-point

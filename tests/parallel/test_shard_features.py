@@ -139,3 +139,52 @@ def test_windowed_at_mgrit_matches_serial(k):
     assert abs(len(conv) - len(base)) <= 1, (k, conv, base)
     np.testing.assert_allclose(conv[:n - 1], base[:n - 1], rtol=1e-6, atol=1e-15)
     assert conv[len(conv) - 1] < 1e-9 or base[len(base) - 1] < 1e-9 or n == len(conv) == len(base)
+
+
+def test_dd_precision_sharded_matches_serial():
+    """Double-double states in the shard_map executor: 1e-12-class
+    residuals with float32 pairs across a time mesh, matching the serial
+    DD solver (and the windowed AT-MGRIT variant)."""
+    mk = lambda nts: [Dahlquist(t_start=0, t_stop=5, nt=nt, precision='dd')
+                      for nt in nts]
+    mesh = make_time_space_mesh(n_time=4, n_space=1)
+    base = Mgrit(problem=mk((129, 65)), tol=1e-10, logging_lvl=30).solve()['conv']
+    conv = ShardedMgrit(problem=mk((129, 65)), mesh=mesh, tol=1e-10,
+                        logging_lvl=30).solve()['conv']
+    assert len(conv) == len(base)
+    np.testing.assert_allclose(conv, base, rtol=1e-4)
+    assert conv[-1] < 1e-10
+
+    from pymgrit_tpu.core.at_mgrit import AtMgrit
+    base_at = AtMgrit(k=6, problem=mk((129, 65)), tol=1e-9,
+                      logging_lvl=30).solve()['conv']
+    conv_at = ShardedAtMgrit(k=6, problem=mk((129, 65)), mesh=mesh, tol=1e-9,
+                             logging_lvl=30).solve()['conv']
+    n = min(len(conv_at), len(base_at))
+    assert abs(len(conv_at) - len(base_at)) <= 1
+    np.testing.assert_allclose(conv_at[:n - 1], base_at[:n - 1], rtol=1e-4)
+
+
+def test_dd_heat2d_sharded_compiled_loop():
+    """DD heat_2d in the fused sharded loop on a padded (non-divisible)
+    grid: residual reaches the 1e-10 class and matches serial DD."""
+    import jax.numpy as jnp
+
+    def mk(nt):
+        return Heat2D(x_start=0, x_end=1, y_start=0, y_end=1, nx=10, ny=12,
+                      a=1.0,
+                      rhs=lambda x, y, t: jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y)
+                      * jnp.ones_like(t * x * y),
+                      init_cond=lambda x, y: np.sin(np.pi * x) * np.sin(np.pi * y),
+                      t_start=0, t_stop=1, nt=nt, precision='dd')
+
+    mesh = make_time_space_mesh(n_time=4, n_space=1)
+    base = Mgrit(problem=[mk(33), mk(9)], tol=1e-10, max_iter=10,
+                 logging_lvl=30).solve()['conv']
+    conv = ShardedMgrit(problem=[mk(33), mk(9)], mesh=mesh, tol=1e-10,
+                        max_iter=10, logging_lvl=30).solve_compiled()['conv']
+    assert len(conv) == len(base)
+    # the final iteration sits at the DD roundoff floor (~6e-15): compare
+    # the pre-floor history tightly, the floor itself only in magnitude
+    np.testing.assert_allclose(conv[:-1], base[:-1], rtol=1e-4)
+    assert conv[-1] < 1e-10
