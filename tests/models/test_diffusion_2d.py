@@ -83,3 +83,19 @@ def test_mgrit_matches_sequential():
         u = d.step(u, d.t[i - 1], d.t[i])
     got = np.asarray(mgrit.u[0])[-1]
     np.testing.assert_allclose(got, np.asarray(u), atol=1e-8)
+
+
+def test_diffusion_dd_matches_f64():
+    """precision='dd' on the DG diffusion model (Ozaki eigenbasis step):
+    histories match fp64 down to tol=1e-11."""
+    def mk(nt, prec=None):
+        return Diffusion2D(n=8, length=10.0, kappa=0.1, t_start=0,
+                           t_stop=10, nt=nt, precision=prec)
+
+    base = Mgrit(problem=[mk(17), mk(9)], tol=1e-11, max_iter=10,
+                 logging_lvl=30).solve()['conv']
+    conv = Mgrit(problem=[mk(17, 'dd'), mk(9, 'dd')], tol=1e-11, max_iter=10,
+                 logging_lvl=30).solve()['conv']
+    assert len(conv) == len(base)
+    np.testing.assert_allclose(conv[:-1], base[:-1], rtol=1e-4)
+    assert conv[-1] < 1e-11
