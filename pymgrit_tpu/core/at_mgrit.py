@@ -43,7 +43,7 @@ class AtMgrit(Mgrit):
 
         info = self.levels[lvl]
         nt = info.nt
-        t = jnp.asarray(info.t)
+        t = self._as_t(info.t)   # exact DD split in DD precision mode
         k = self.k
         pts = np.arange(nt)
         window_start = np.maximum(0, pts - k + 1)
