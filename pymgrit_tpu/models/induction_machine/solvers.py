@@ -18,6 +18,7 @@ from __future__ import annotations
 import logging
 import time
 
+import jax
 import numpy as np
 
 from pymgrit_tpu.core.solver import Mgrit
@@ -37,6 +38,10 @@ class MgritMachine(Mgrit):
                 tmp_pwm[lvl] = self.problem[lvl].pwm
                 self.problem[lvl].fopt[-1] = 0
         state = self._jit_nested(self._get_state())
+        # The GetDP callback reads fopt at execution time, and jit dispatch
+        # is async: block before restoring the PWM flag so every nested-
+        # iteration step really ran with the sin source.
+        state = jax.block_until_ready(state)
         self._set_state(state)
         if change:
             for lvl in range(len(self.problem)):

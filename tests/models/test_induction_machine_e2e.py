@@ -1,0 +1,238 @@
+"""End-to-end InductionMachine: the complete GetDP orchestration —
+preprocessing run, .pre DOF-count check, .res seeding, -restart solve,
+resolution/result-file read-back — driven against a mock GetDP binary with
+known backward-Euler dynamics, through pure_callback inside the jitted
+solver and both machine MGRIT solvers.
+
+The reference (src/pymgrit/induction_machine/induction_machine.py:96-195)
+runs the same protocol against the real binary; here the binary is emulated
+(u' = -u + 1, one BE sub-step per dtime) so the subprocess round-trip and
+file formats themselves are what is under test — the piece the synthetic
+tests in test_induction_machine.py cannot reach.
+"""
+
+import os
+import stat
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(REPO, "tools", "mpi4py_stub"))
+
+from pymgrit_tpu.models.induction_machine.application import InductionMachine
+from pymgrit_tpu.models.induction_machine.machine_state import MachineState, get_values
+from pymgrit_tpu.models.induction_machine.solvers import (MgritMachine,
+                                                          MgritMachineConvJl)
+
+MIDDLE = 5          # unknowns in the grid .pre fixture
+NUM_DOFS = MIDDLE + 8 + 15   # + further_unknowns_front/back
+
+
+MOCK_TEMPLATE = '''#!{python} -S
+"""Mock GetDP: the CLI surface InductionMachine.run_getdp drives.
+Dynamics: backward Euler on u' = -u + 1, one sub-step per dtime."""
+import os
+import sys
+
+NUM_DOFS = {num_dofs}
+LOG = {log!r}
+
+with open(LOG, "a") as f:
+    f.write(" ".join(sys.argv[1:]) + chr(10))
+
+if "--version" in sys.argv:
+    sys.stdout.write("mock-getdp 2.10.0" + chr(10))
+    sys.exit(0)
+
+
+def opt(flag):
+    return sys.argv[sys.argv.index(flag) + 1]
+
+
+def setnum(name):
+    for i, a in enumerate(sys.argv):
+        if a == "-setnumber" and sys.argv[i + 1] == name:
+            return float(sys.argv[i + 2])
+    raise SystemExit("missing -setnumber " + name)
+
+
+name = opt("-name")
+res = opt("-res")
+timemax = setnum("timemax")
+dtime = setnum("dtime")
+
+if "-pre" in sys.argv:
+    # get_preresolution reads the 6th line after $DofData, last field
+    lines = ["$Resolution /* mock */", "1 1", "$EndResolution",
+             "$DofData  /* #0 */", "1 1", "0", "0", "0",
+             "1 %d" % NUM_DOFS, "$EndDofData"]
+    with open(name + ".pre", "w") as f:
+        f.write(chr(10).join(lines) + chr(10))
+    sys.exit(0)
+
+# -restart: read the step-0 seed written by set_resolution
+with open(res) as f:
+    content = f.readlines()
+i = next(k for k, s in enumerate(content) if "$Solution" in s)
+t0 = float(content[i + 1].split()[1])
+u = [float(s.split()[0]) for s in content[i + 2:i + 2 + NUM_DOFS]]
+
+n = max(1, int(round((timemax - t0) / dtime)))
+blocks = []
+t = t0
+for k in range(1, n + 1):
+    t = t0 + k * dtime
+    u = [(x + dtime) / (1.0 + dtime) for x in u]
+    blocks.append("$Solution  /* DofData #0 */")
+    blocks.append("0 %r 0 %d" % (t, k))
+    blocks += ["%r 0" % x for x in u]
+    blocks.append("$EndSolution")
+with open(res, "a") as f:
+    f.write(chr(10) + chr(10).join(blocks) + chr(10))
+
+jl = sum(x * x for x in u)
+outdir = os.path.dirname(name)
+scal = {{"JL": jl, "Ia": 1.0, "Ib": 2.0, "Ic": 3.0,
+         "Ua": 4.0, "Ub": 5.0, "Uc": 6.0, "Tr": 7.0}}
+for suffix, val in scal.items():
+    with open(os.path.join(outdir, "res%s.dat" % suffix), "w") as f:
+        f.write("0 %r %r" % (t, val) + chr(10))
+sys.exit(0)
+'''
+
+
+def _write_grid_pre(path):
+    """Grid .pre fixture: pre_file slices content[9:-35]; row[1] = node tag,
+    row[4] = unknown id (0/-1/1 marks boundary)."""
+    header = ["$Resolution /* fixture */", "1 1", "$EndResolution",
+              "$DofData  /* #0 */", "1 1", "0", "0",
+              "1 %d" % MIDDLE, "dummy"]
+    rows = []
+    for k in range(MIDDLE):
+        rows.append("1 %d 0 0 %d" % (k + 1, 10 + k))
+    rows += ["1 100 0 0 0", "1 101 0 0 0"]   # boundary nodes
+    footer = ["footer"] * 34 + ["$EndDofData"]
+    with open(path, "w") as f:
+        f.write("\n".join(header + rows + footer) + "\n")
+
+
+@pytest.fixture()
+def machine_env(tmp_path):
+    """Mock binary + grid fixtures + argv log."""
+    log = str(tmp_path / "argv.log")
+    mock = str(tmp_path / "mock_getdp")
+    with open(mock, "w") as f:
+        f.write(MOCK_TEMPLATE.format(python=sys.executable,
+                                     num_dofs=NUM_DOFS, log=log))
+    os.chmod(mock, os.stat(mock).st_mode | stat.S_IEXEC)
+    (tmp_path / "im_3kW.pro").write_text("/* mock problem file */\n")
+    (tmp_path / "grid.msh").write_text("$MeshFormat\n4 0 8\n$EndMeshFormat\n")
+    _write_grid_pre(str(tmp_path / "grid.pre"))
+    return {"path_im3kw": str(tmp_path) + os.sep, "path_getdp": mock,
+            "grid": "grid", "log": log}
+
+
+def _be_steps(u, n, dt):
+    for _ in range(n):
+        u = (u + dt) / (1.0 + dt)
+    return u
+
+
+def test_step_round_trip(machine_env):
+    """One Phi evaluation = write seed, run mock twice, read back: the DOF
+    vector advances by exactly one BE step and the 8 scalars land in order
+    [jl, ia, ib, ic, ua, ub, uc, tr]."""
+    app = InductionMachine(grid=machine_env["grid"],
+                           path_im3kw=machine_env["path_im3kw"],
+                           path_getdp=machine_env["path_getdp"],
+                           t_start=0.0, t_stop=0.2, nt=5, pwm=1)
+    assert app.nx == NUM_DOFS
+
+    rng = np.random.default_rng(3)
+    u0 = MachineState(rng.random(8), rng.random(MIDDLE), rng.random(15))
+    out = app.step(u0, app.t[0], app.t[1])
+
+    dt = 0.05
+    expected = _be_steps(np.asarray(get_values(u0)), 1, dt)
+    got = np.asarray(get_values(out))
+    np.testing.assert_allclose(got, expected, rtol=1e-12)
+    scal = np.asarray(out["scalars"])
+    np.testing.assert_allclose(scal[0], np.sum(expected ** 2), rtol=1e-12)
+    np.testing.assert_allclose(scal[1:], [1, 2, 3, 4, 5, 6, 7.0], rtol=1e-12)
+
+    # CLI surface: Flag_PWM rides last (the fopt[-1] toggle contract) and
+    # both the -pre and -restart invocations carried the time window.
+    lines = [l for l in open(machine_env["log"]).read().splitlines() if l]
+    pre_calls = [l for l in lines if " -pre " in l]
+    restart_calls = [l for l in lines if "-restart" in l]
+    assert len(pre_calls) == 1 and len(restart_calls) == 1
+    for l in pre_calls + restart_calls:
+        assert l.rstrip().endswith("-setnumber Flag_PWM 1")
+        assert "-setnumber timemax 0.05" in l
+        assert "-setstring ResDir" in l
+
+
+def test_steps_per_solve_substeps(machine_env):
+    """steps_per_solve=2 halves dtime: the mock takes two BE sub-steps."""
+    app = InductionMachine(grid=machine_env["grid"],
+                           path_im3kw=machine_env["path_im3kw"],
+                           path_getdp=machine_env["path_getdp"],
+                           t_start=0.0, t_stop=0.2, nt=5, steps_per_solve=2)
+    u0 = MachineState(np.ones(8), np.ones(MIDDLE), np.ones(15))
+    out = app.step(u0, app.t[0], app.t[1])
+    expected = _be_steps(np.ones(NUM_DOFS), 2, 0.025)
+    np.testing.assert_allclose(np.asarray(get_values(out)), expected, rtol=1e-12)
+
+
+def test_mgrit_machine_conv_jl_end_to_end(machine_env):
+    """Full MGRIT solve over the subprocess stepper: the joule-loss criterion
+    converges and the final state matches sequential time-stepping (linear
+    contractive dynamics => MGRIT fixed point = sequential solution; the
+    final F-relax post-processing makes every point exact)."""
+    kw = dict(grid=machine_env["grid"], path_im3kw=machine_env["path_im3kw"],
+              path_getdp=machine_env["path_getdp"], t_start=0.0, t_stop=0.8)
+    apps = [InductionMachine(nt=9, **kw), InductionMachine(nt=3, **kw)]
+    solver = MgritMachineConvJl(problem=apps, tol=1e-6, max_iter=6,
+                                logging_lvl=30, nested_iteration=True)
+    info = solver.solve()
+    # stopped early: the jl relative change hit 0 exactly at iteration 3
+    # (which the returned history filters out — the reference's
+    # conv[conv != 0] quirk, mgrit_machine_conv_jl.py:140-147)
+    assert solver.solve_iter < 6
+    assert solver.conv[solver.solve_iter] < 1e-6
+    assert list(info["conv"]) == [c for c in solver.conv if c != 0]
+
+    dt = 0.1
+    u_seq = _be_steps(np.zeros(NUM_DOFS), 8, dt)
+    u_last = {k: np.asarray(v)[-1] for k, v in solver.u[0].items()}
+    np.testing.assert_allclose(
+        np.concatenate([u_last["front"], u_last["middle"], u_last["back"]]),
+        u_seq, rtol=1e-10)
+    # joule losses recorded at the last C-point match the mock's formula
+    np.testing.assert_allclose(u_last["scalars"][0], np.sum(u_seq ** 2),
+                               rtol=1e-10)
+
+
+def test_mgrit_machine_pwm_nested_iteration(machine_env):
+    """MgritMachine really runs every nested-iteration GetDP call with the
+    sin source (Flag_PWM 0 on the CLI) and restores the flag for the main
+    cycle — verified on the binary's own argv log, end-to-end."""
+    kw = dict(grid=machine_env["grid"], path_im3kw=machine_env["path_im3kw"],
+              path_getdp=machine_env["path_getdp"], t_start=0.0, t_stop=0.8,
+              pwm=1)
+    apps = [InductionMachine(nt=5, **kw), InductionMachine(nt=3, **kw)]
+    open(machine_env["log"], "w").close()   # drop construction noise
+    solver = MgritMachine(problem=apps, max_iter=1, tol=1e-12,
+                          logging_lvl=30, nested_iteration=True)
+    solver.solve()
+    assert apps[0].fopt[-1] == 1 and apps[1].fopt[-1] == 1
+
+    lines = [l for l in open(machine_env["log"]).read().splitlines()
+             if "-restart" in l]
+    pwm_vals = [l.rstrip().split()[-1] for l in lines]
+    # nested iteration (first calls) ran with 0; later cycle calls with 1
+    assert "0" in pwm_vals and any(v in ("1", "1.0") for v in pwm_vals)
+    first_one = next(i for i, v in enumerate(pwm_vals) if v in ("1", "1.0"))
+    assert all(v == "0" for v in pwm_vals[:first_one])
