@@ -241,8 +241,10 @@ def main():
     # 1e-10 tolerance class ON THE CHIP; CPU-f64 parity is kept as cross-check.
     os.environ.setdefault("PYMGRIT_TPU_NO_X64", "1")
 
-    toms = run_ours("toms129", **CONFIGS["toms129"])
-    spectral = run_ours("toms129_spectral", basis='spectral', **CONFIGS["toms129"])
+    # Headline: spectral-state mode — the TPU-first formulation (identical
+    # residual histories to the physical basis; see docs/performance.md).
+    toms = run_ours("toms129", basis='spectral', **CONFIGS["toms129"])
+    physical = run_ours("toms129_physical", **CONFIGS["toms129"])
     base = run_ours("base65", **CONFIGS["base65"])
     spatial = run_spatial_row()
     dd = run_dd_row()
@@ -263,11 +265,12 @@ def main():
         "iterations_measured": toms["iterations"],
         "solve_time_s": round(toms["solve_time_s"], 3),
         "conv": [float(f"{c:.4e}") for c in toms["conv"]],
-        "useful_tflops_per_sec": round(toms["useful_tflops_per_sec"], 3),
+        "basis": "spectral (eigen-coefficient state; histories identical to physical)",
+        "toms129_physical_steps_per_sec": round(physical["steps_per_sec"], 2),
+        "toms129_physical_conv": [float(f"{c:.4e}") for c in physical["conv"]],
+        "useful_tflops_per_sec": round(physical["useful_tflops_per_sec"], 3),
         "mfu_vs_f32_highest_roofline": round(
-            toms["useful_tflops_per_sec"] * 1e12 / (PEAK_BF16 / F32_PASSES), 4),
-        "toms129_spectral_steps_per_sec": round(spectral["steps_per_sec"], 2),
-        "toms129_spectral_conv": [float(f"{c:.4e}") for c in spectral["conv"]],
+            physical["useful_tflops_per_sec"] * 1e12 / (PEAK_BF16 / F32_PASSES), 4),
         "base65_steps_per_sec": round(base["steps_per_sec"], 2),
         "base65_vs_reference": round(
             base["steps_per_sec"] / ref_base["steps_per_sec"], 3) if ref_base else None,
@@ -278,6 +281,18 @@ def main():
         "parity_iters_to_1e-10_cpu_f64": parity["iterations"] if parity else None,
         "reference_toms_steps_per_sec": round(ref_toms["steps_per_sec"], 2) if ref_toms else None,
     }
+
+    # XL row (opt-in: PYMGRIT_TPU_BENCH_XL=1): 257^2 at the same nt — the
+    # scaling evidence behind docs/performance.md's roofline paragraph.
+    if os.environ.get("PYMGRIT_TPU_BENCH_XL"):
+        for nm, basis in (("toms257", 'physical'), ("toms257_spectral", 'spectral')):
+            xl = run_ours(nm, nx=257, ny=257, nt=2 ** 14 + 1,
+                          ms=[32, 16, 4, 4], max_iter=5, basis=basis)
+            result[nm + "_steps_per_sec"] = round(xl["steps_per_sec"], 2)
+            result[nm + "_useful_tflops_per_sec"] = round(
+                xl["useful_tflops_per_sec"], 3)
+            result[nm + "_conv"] = [float(f"{c:.4e}") for c in xl["conv"]]
+
     print(json.dumps(result))
 
 
