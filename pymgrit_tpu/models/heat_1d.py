@@ -57,9 +57,12 @@ class Heat1D(Application):
         self._S_np = self.S                    # numpy copy (f64)
         self.vector_template = np.zeros(self.nx)
         self.vector_t_start = np.asarray(init_cond(self.x), dtype=np.float64)
+        # eigen-space affine-step constants, used by BOTH bases (spectral
+        # steps with them; physical uses them for the closed-form interval
+        # relaxation — same affine map conjugated by the orthogonal basis)
+        self._lam_np = self.lam
+        self._itbl_cache = {}
         if self._spectral:
-            self._lam_np = self.lam
-            self._itbl_cache = {}
             self.vector_t_start = self._S_np @ self.vector_t_start
         if self._dd:
             from pymgrit_tpu.ops import dd
@@ -68,8 +71,9 @@ class Heat1D(Application):
             self.lam = dd.from_f64(self.lam)
             self.vector_template = dd.from_f64(np.asarray(self.vector_template))
             self.vector_t_start = dd.from_f64(np.asarray(self.vector_t_start))
-        if self._dd or self._spectral:
-            self._build_rhs_table()
+        # every basis builds the table (the physical basis needs the
+        # time-independence check + rhs0 for the closed-form relaxation)
+        self._build_rhs_table()
 
     def _build_rhs_table(self):
         """Tabulate rhs(x, t) over this level's grid times in ONE batched
@@ -101,6 +105,10 @@ class Heat1D(Application):
         else:
             self._rhs_tbl, self._rhs_tbl_times = tbl, ts
         self._rhs_tbl0_np = np.asarray(self._rhs_tbl[0], dtype=np.float64)
+        # eigen-space rhs0 for the closed-form tables (physical-mode table
+        # stores raw samples; the spectral table is already transformed)
+        self._rhs_tbl0_hat_np = (self._rhs_tbl0_np if self._spectral
+                                 else self._S_np @ self._rhs_tbl0_np)
 
     def _rhs_at(self, t):
         """b(x, t) evaluated with jnp so traced t works.  User callables must
@@ -136,7 +144,7 @@ class Heat1D(Application):
             return self._itbl_cache[key]
         lam = self._lam_np
         A = 1.0 / (1.0 + dt * lam)
-        c = dt * self._rhs_tbl0_np * A
+        c = dt * self._rhs_tbl0_hat_np * A
         A_k = np.empty((m1,) + lam.shape)
         G_k = np.empty((m1,) + lam.shape)
         A_k[0], G_k[0] = A, c
@@ -155,8 +163,10 @@ class Heat1D(Application):
 
     def relax_interval(self, seed, t_prev, t_curr):
         """Solver fast-path hook (core/solver.py:_f_relax_uniform): all m-1
-        F-values per interval in one batched elementwise expression."""
-        if not self._spectral:
+        F-values per interval in one batched closed-form expression.  Works
+        in both bases (see Heat2D.relax_interval); declines for non-uniform
+        dt, time-dependent rhs, or DD-physical."""
+        if not self._spectral and self._dd:
             return None
         dts = np.asarray(t_curr, np.float64) - np.asarray(t_prev, np.float64)
         if dts.size == 0:
@@ -168,12 +178,19 @@ class Heat1D(Application):
             return None
         m1 = t_prev.shape[0]
         A_t, G_t = self._interval_tables(dt, m1)
-        if self._dd:
-            from pymgrit_tpu.ops.dd import _raw
-            A_k = _raw(jnp.asarray(A_t[0]), jnp.asarray(A_t[1]))
-            G_k = _raw(jnp.asarray(G_t[0]), jnp.asarray(G_t[1]))
-            return A_k[:, None] * seed[None] + G_k[:, None]
-        return seed[None] * A_t[:, None] + G_t[:, None]
+        if self._spectral:
+            if self._dd:
+                from pymgrit_tpu.ops.dd import _raw
+                A_k = _raw(jnp.asarray(A_t[0]), jnp.asarray(A_t[1]))
+                G_k = _raw(jnp.asarray(G_t[0]), jnp.asarray(G_t[1]))
+                return A_k[:, None] * seed[None] + G_k[:, None]
+            return seed[None] * A_t[:, None] + G_t[:, None]
+        # physical basis: transform seeds, apply tables, transform back in
+        # one batched GEMM (homogeneous Dirichlet: no boundary ring terms)
+        S = jnp.asarray(self._S_np).astype(seed.dtype)
+        xhat = jnp.einsum('ij,bj->bi', S, seed)              # (J, nx)
+        yhat = xhat[None] * A_t[:, None] + G_t[:, None]      # (m1, J, nx)
+        return jnp.einsum('sbj,jk->sbk', yhat, S)
 
     def to_physical(self, u_hat):
         """Spectral coefficients -> interior values (for output)."""

@@ -117,27 +117,33 @@ class Heat2D(Application):
         init[0, :] = np.asarray(self.bc_top_arr)
         self.vector_t_start = init
 
+        # Eigen-space affine-step constants.  Derivation (theta-method on
+        # the interior, boundary ring = the constant-in-time Dirichlet data,
+        # which every solver state carries at the boundary — FAS
+        # residuals/g have zero boundary):
+        #   (I + th*dt*L_int) u' = u - th'*dt*(L_int u + E)
+        #                          + dt*rhs_mix + th*dt*LIFT
+        # with E = -LIFT (the bc coupling of the stencil), th' = theta
+        # for CN (explicit half), absent for BE.  Diagonalizing by the
+        # orthonormal sine basis makes every term elementwise:
+        #   u'^ = (u^ (1 - th'*dt*Lam) + (th+th')*dt*lift^ + dt*rhs^ )
+        #         / (1 + th*dt*Lam)
+        # Built for BOTH bases: the spectral state steps with it directly;
+        # the physical basis uses it for the closed-form interval
+        # relaxation (relax_interval) since the physical step is the SAME
+        # affine map conjugated by the orthogonal basis.
+        lift = np.zeros((nx - 2, ny - 2))
+        lift[:, 0] += self.fy * self.bc_left_arr[1:-1]
+        lift[:, -1] += self.fy * self.bc_right_arr[1:-1]
+        lift[0, :] += self.fx * self.bc_top_arr[1:-1]
+        lift[-1, :] += self.fx * self.bc_bottom_arr[1:-1]
+        self._lift_np = lift
+        self._lift_hat_np = self._Sx_np @ lift @ self._Sy_np
+        self._Lam_np = self.lamx[:, None] + self.lamy[None, :]
+        self._itbl_cache = {}
         if self._spectral:
-            # Derivation (theta-method on the interior, boundary ring = the
-            # constant-in-time Dirichlet data, which every solver state
-            # carries at the boundary — FAS residuals/g have zero boundary):
-            #   (I + th*dt*L_int) u' = u - th'*dt*(L_int u + E)
-            #                          + dt*rhs_mix + th*dt*LIFT
-            # with E = -LIFT (the bc coupling of the stencil), th' = theta
-            # for CN (explicit half), absent for BE.  Diagonalizing by the
-            # orthonormal sine basis makes every term elementwise:
-            #   u'^ = (u^ (1 - th'*dt*Lam) + (th+th')*dt*lift^ + dt*rhs^ )
-            #         / (1 + th*dt*Lam)
-            lift = np.zeros((nx - 2, ny - 2))
-            lift[:, 0] += self.fy * self.bc_left_arr[1:-1]
-            lift[:, -1] += self.fy * self.bc_right_arr[1:-1]
-            lift[0, :] += self.fx * self.bc_top_arr[1:-1]
-            lift[-1, :] += self.fx * self.bc_bottom_arr[1:-1]
-            self._lift_hat = self._Sx_np @ lift @ self._Sy_np
-            self._Lam = self.lamx[:, None] + self.lamy[None, :]
-            self._lift_hat_np = self._lift_hat   # f64 copies for the
-            self._Lam_np = self._Lam             # closed-form interval tables
-            self._itbl_cache = {}
+            self._lift_hat = self._lift_hat_np
+            self._Lam = self._Lam_np
             self.vector_template = np.zeros((nx - 2, ny - 2))
             self.vector_t_start = self._Sx_np @ init[1:-1, 1:-1] @ self._Sy_np
 
@@ -153,7 +159,9 @@ class Heat2D(Application):
                 self.lamy = dd.from_f64(self.lamy)
             self.vector_template = dd.from_f64(np.asarray(self.vector_template))
             self.vector_t_start = dd.from_f64(np.asarray(self.vector_t_start))
-        if self._dd or self._spectral:
+        if self._dd or self._spectral or self.theta > 0.0:
+            # physical BE/CN builds the table too: the closed-form interval
+            # relaxation needs the time-independence check + rhs0 samples
             self._build_rhs_table()
 
     # ------------------------------------------------------------------
@@ -190,15 +198,44 @@ class Heat2D(Application):
                 r = (Sx @ r @ Sy).astype(one.dtype)
             return r
 
-        tbl = jax.jit(jax.vmap(sample))(ts)
-        if bool(jax.jit(lambda a: jnp.all(a == a[0:1]))(tbl)):
-            self._rhs_tbl, self._rhs_tbl_times = tbl[:1], ts[:1]
+        # Chunked evaluation: never materialize the full (nt, nxi, nyi)
+        # table unless the rhs really is time-dependent (at the TOMS bench
+        # scale the one-shot table is multi-GB transient memory).  The
+        # common time-independent case touches one chunk and keeps 1 slice.
+        vsample = jax.jit(jax.vmap(sample))
+        vsame = jax.jit(lambda a, s0: jnp.all(a == s0[None]))
+        chunk = 1024
+        s0 = None
+        chunks, time_dep = [], False
+        for lo in range(0, ts.shape[0], chunk):
+            part = vsample(ts[lo:lo + chunk])
+            if s0 is None:
+                s0 = part[0]
+            if not time_dep and not bool(vsame(part, s0)):
+                time_dep = True
+            if not (self._dd or self._spectral):
+                # physical basis consumes only the time-independence flag
+                # and slice 0 (_rhs_at evaluates the callable directly)
+                if time_dep:
+                    break
+                continue
+            chunks.append(part)
+        if time_dep and not (self._dd or self._spectral):
+            self._rhs_tbl = jnp.stack([s0, s0])   # shape[0] != 1 => declines
+            self._rhs_tbl_times = ts[:2]
+        elif time_dep:
+            self._rhs_tbl, self._rhs_tbl_times = jnp.concatenate(chunks), ts
         else:
-            self._rhs_tbl, self._rhs_tbl_times = tbl, ts
+            self._rhs_tbl, self._rhs_tbl_times = s0[None], ts[:1]
         # host copy of the first slice for the closed-form interval tables
         # (must be numpy: _interval_tables runs inside jit traces, where
         # indexing even a concrete device array yields a tracer)
         self._rhs_tbl0_np = np.asarray(self._rhs_tbl[0], dtype=np.float64)
+        # eigen-space rhs0 for the closed-form interval tables: the
+        # spectral table already stores transformed samples; the physical
+        # table stores raw samples and transforms here
+        self._rhs_tbl0_hat_np = (self._rhs_tbl0_np if self._spectral
+                                 else self._Sx_np @ self._rhs_tbl0_np @ self._Sy_np)
 
     def _rhs_at(self, t):
         """rhs(x, y, t) for a (possibly DD) time value.  In DD or spectral
@@ -279,7 +316,7 @@ class Heat2D(Application):
         Lam = self._Lam_np
         denom = 1.0 + th * dt * Lam
         A = (1.0 - thp * dt * Lam) / denom
-        rhs0 = self._rhs_tbl0_np
+        rhs0 = self._rhs_tbl0_hat_np
         c = ((th + thp) * dt * self._lift_hat_np + dt * rhs0) / denom
         A_k = np.empty((m1,) + Lam.shape)
         G_k = np.empty((m1,) + Lam.shape)
@@ -302,10 +339,16 @@ class Heat2D(Application):
 
     def relax_interval(self, seed, t_prev, t_curr):
         """Solver fast-path hook (core/solver.py:_f_relax_uniform): all m-1
-        F-values of every interval in ONE batched elementwise expression —
-        no sequential scan.  Declines (None) unless basis='spectral' with a
-        uniform dt and a time-independent rhs."""
-        if not self._spectral:
+        F-values of every interval in ONE batched closed-form expression —
+        no sequential scan.  Works in BOTH bases (the physical BE/CN step
+        is the same elementwise affine map conjugated by the orthogonal
+        sine basis): spectral applies the tables directly; physical
+        transforms the J seeds (2 GEMMs), applies A^k x^ + G_k, and
+        transforms all (m-1, J) results back in one batched GEMM pair —
+        the scan that kept the MXU ~1/3 busy becomes two large matmuls.
+        Declines (None) for non-uniform dt, time-dependent rhs, FE, or
+        DD-physical."""
+        if not self._spectral and (self._dd or self.theta == 0.0):
             return None
         dts = np.asarray(t_curr, np.float64) - np.asarray(t_prev, np.float64)
         if dts.size == 0:
@@ -317,13 +360,48 @@ class Heat2D(Application):
             return None                           # time-dependent rhs
         m1 = t_prev.shape[0]
         A_t, G_t = self._interval_tables(dt, m1)
-        if self._dd:
-            from pymgrit_tpu.ops.dd import _raw
-            A_k = _raw(jnp.asarray(A_t[0]), jnp.asarray(A_t[1]))
-            G_k = _raw(jnp.asarray(G_t[0]), jnp.asarray(G_t[1]))
-            return A_k[:, None] * seed[None] + G_k[:, None]
-        # seed first so the traced operand drives the dtype/dispatch
-        return seed[None] * A_t[:, None] + G_t[:, None]
+        if self._spectral:
+            if self._dd:
+                from pymgrit_tpu.ops.dd import _raw
+                A_k = _raw(jnp.asarray(A_t[0]), jnp.asarray(A_t[1]))
+                G_k = _raw(jnp.asarray(G_t[0]), jnp.asarray(G_t[1]))
+                return A_k[:, None] * seed[None] + G_k[:, None]
+            # seed first so the traced operand drives the dtype/dispatch
+            return seed[None] * A_t[:, None] + G_t[:, None]
+
+        # ---- physical basis ----
+        Sx = jnp.asarray(self._Sx_np).astype(seed.dtype)
+        Sy = jnp.asarray(self._Sy_np).astype(seed.dtype)
+        x_int = seed[:, 1:-1, 1:-1]                          # (J, nxi, nyi)
+        xhat = jnp.einsum('ij,bjk,kl->bil', Sx, x_int, Sy)
+        yhat = xhat[None] * A_t[:, None] + G_t[:, None]      # (m1, J, ...)
+        if self.theta < 1.0:
+            # CN's explicit half reads the seed's CARRIED boundary ring;
+            # the tables assume ring == bc data.  First-step correction
+            # (exact): delta_c = th*dt*(lift(ring_seed) - lift(bc))^/denom,
+            # propagated as A^{k-1} * delta_c.
+            nxi, nyi = self.nx - 2, self.ny - 2
+            dl = jnp.zeros((seed.shape[0], nxi, nyi), seed.dtype)
+            dl = dl.at[:, :, 0].add(self.fy * seed[:, 1:-1, 0])
+            dl = dl.at[:, :, -1].add(self.fy * seed[:, 1:-1, -1])
+            dl = dl.at[:, 0, :].add(self.fx * seed[:, 0, 1:-1])
+            dl = dl.at[:, -1, :].add(self.fx * seed[:, -1, 1:-1])
+            dl = dl - jnp.asarray(self._lift_np).astype(seed.dtype)
+            dhat = jnp.einsum('ij,bjk,kl->bil', Sx, dl, Sy)
+            shift = self.theta * dt
+            denom = 1.0 + shift * self._Lam_np
+            delta_c = dhat * (shift / denom)
+            A_km1 = np.concatenate([np.ones((1,) + self._Lam_np.shape),
+                                    A_t[:-1]])
+            yhat = yhat + delta_c[None] * A_km1[:, None]
+        y_int = jnp.einsum('ij,sbjk,kl->sbil', Sx, yhat, Sy)
+        out = jnp.zeros(y_int.shape[:2] + (self.nx, self.ny), y_int.dtype)
+        out = out.at[:, :, 1:-1, 1:-1].set(y_int)
+        out = out.at[:, :, :, 0].set(jnp.asarray(self.bc_left_arr))
+        out = out.at[:, :, :, -1].set(jnp.asarray(self.bc_right_arr))
+        out = out.at[:, :, -1, :].set(jnp.asarray(self.bc_bottom_arr))
+        out = out.at[:, :, 0, :].set(jnp.asarray(self.bc_top_arr))
+        return out
 
     def to_physical(self, u_hat):
         """Spectral coefficients -> full (..., nx, ny) field with the

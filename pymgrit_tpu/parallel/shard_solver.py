@@ -326,7 +326,10 @@ class ShardedMgrit:
         return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, "time"), masked)
 
     def _f_relax_sm(self, lvl, u):
-        """Local: scan each block from its own C-point."""
+        """Local: scan each block from its own C-point — or, when the
+        application provides the closed-form interval hook (relax_interval,
+        see Heat2D) and the grid is globally uniform, ALL m-1 F-values per
+        block in one batched closed-form expression, no scan."""
         m = self.m_eff[lvl]
         t_blocks = self._level_times(lvl)
         vstep = self._vstep(lvl)
@@ -342,11 +345,24 @@ class ShardedMgrit:
 
         # step s propagates from position s to s+1 within each block
         if lvl == 0:
-            def body(carry, s):
-                stepped = vstep(carry, t_loc[:, s], t_loc[:, s + 1])
-                return stepped, stepped
+            ys = None
+            hook = getattr(self.problem[0], "relax_interval", None)
+            if hook is not None and m > 1:
+                # the hook needs STATIC times; globally uniform dt means
+                # every block (incl. phantoms: linear extension) shares the
+                # first block's spacing, so tile it
+                tg = self.t_pad[0]
+                d = np.diff(tg)
+                if d.size and np.allclose(d, d[0], rtol=1e-12, atol=0.0):
+                    tp_np = np.tile(tg[0:m - 1][:, None], (1, Jloc))
+                    tc_np = np.tile(tg[1:m][:, None], (1, Jloc))
+                    ys = hook(x, tp_np, tc_np)
+            if ys is None:
+                def body(carry, s):
+                    stepped = vstep(carry, t_loc[:, s], t_loc[:, s + 1])
+                    return stepped, stepped
 
-            _, ys = jax.lax.scan(body, x, jnp.arange(m - 1))
+                _, ys = jax.lax.scan(body, x, jnp.arange(m - 1))
         else:
             g_blocks = u["g_blocks"]
 
@@ -680,12 +696,31 @@ class ShardedMgrit:
 
     # ------------------------------------------------------------------
 
+    # -- custom criteria in the fused loop (see Mgrit): subclasses override
+    # compiled_convergence_criterion(self, state, aux) -> (conv, done, aux)
+    # — a PURE function, shard_map-compatible ('time'-axis collectives
+    # allowed), run INSIDE the while_loop with zero host syncs. --
+
+    compiled_convergence_criterion = None
+
+    def compiled_conv_aux_init(self):
+        """Initial aux pytree for the custom criterion."""
+        return jnp.zeros(())
+
+    def compiled_conv_aux_specs(self, aux0):
+        """PartitionSpecs for the aux pytree (default: replicated).
+        Override alongside compiled_conv_aux_init when the aux carries
+        'time'-sharded leaves (e.g. per-C-point saved values)."""
+        return jax.tree_util.tree_map(lambda x: P(), aux0)
+
     def solve_compiled(self) -> dict:
         """Entire iteration loop inside one shard_map + lax.while_loop:
         halos, cycles, and the convergence check all run on device with no
         host round trips (the sharded analogue of Mgrit.solve_compiled)."""
         if not hasattr(self, "_jit_solve_loop"):
-            def loop(state, u_save):
+            custom = type(self).compiled_convergence_criterion
+
+            def loop(state, u_save, conv_aux):
                 def body_fn(st):
                     st2 = dict(st)
                     self._cycle_sm(0, st2, self.cycle_type, True, False)
@@ -697,33 +732,41 @@ class ShardedMgrit:
                     return st2
 
                 def cond(carry):
-                    it, hist, st, usv, done = carry
+                    it, hist, st, usv, aux, done = carry
                     return jnp.logical_and(it < self.iter_max,
                                            jnp.logical_not(done))
 
                 def body(carry):
-                    it, hist, st, usv, done = carry
+                    it, hist, st, usv, aux, done = carry
                     st = jax.lax.cond(it == 0, body_first, body_fn, st)
-                    conv, all_below, usv = self._conv_body(st, usv)
+                    if custom is not None:
+                        conv, done, aux = custom(self, st, aux)
+                    else:
+                        conv, all_below, usv = self._conv_body(st, usv)
+                        done = jnp.where(self.global_conv_crit,
+                                         conv < self.tol, all_below)
                     hist = hist.at[it].set(conv)
-                    done = jnp.where(self.global_conv_crit, conv < self.tol,
-                                     all_below)
-                    return (it + 1, hist, st, usv, done)
+                    return (it + 1, hist, st, usv, aux, done)
 
                 hist0 = jnp.zeros(self.iter_max, dtype=jnp.result_type(0.0))
-                it, hist, st, usv, done = jax.lax.while_loop(
+                it, hist, st, usv, aux, done = jax.lax.while_loop(
                     cond, body,
-                    (jnp.array(0), hist0, state, u_save, jnp.array(False)))
-                return it, hist, st, usv
+                    (jnp.array(0), hist0, state, u_save, conv_aux,
+                     jnp.array(False)))
+                return it, hist, st, usv, aux
 
+            aux0 = self.compiled_conv_aux_init()
+            aux_specs = self.compiled_conv_aux_specs(aux0)
             self._jit_solve_loop = jax.jit(shard_map(
-                loop, mesh=self.mesh, in_specs=(self._specs, self._usave_specs),
-                out_specs=(P(), P(), self._specs, self._usave_specs),
+                loop, mesh=self.mesh,
+                in_specs=(self._specs, self._usave_specs, aux_specs),
+                out_specs=(P(), P(), self._specs, self._usave_specs, aux_specs),
                 check_vma=False, axis_names=frozenset({"time"})))
 
         t0 = time.time()
-        it, hist, self.state, self._u_save = self._jit_solve_loop(
-            self.state, self._u_save)
+        it, hist, self.state, self._u_save, self._compiled_conv_aux = \
+            self._jit_solve_loop(self.state, self._u_save,
+                                 self.compiled_conv_aux_init())
         it = int(it)
         hist = np.asarray(hist)
         self.conv = np.zeros(self.iter_max + 1)
