@@ -14,15 +14,20 @@ from pymgrit.heat.heat_2d import Heat2D
 from pymgrit.core.mgrit import Mgrit
 
 
-def main(nt=4097, nx=65, ny=65, levels=4, m=4, tol=1e-7, max_iter=10):
+def main(nt=4097, nx=65, ny=65, levels=4, m=4, tol=1e-7, max_iter=10, ms=None):
     problem = []
     t = np.linspace(0, 1, nt)
+    if ms is None:
+        ms = [m] * (levels - 1)
+    stride = 1
     for lvl in range(levels):
         problem.append(Heat2D(x_start=0, x_end=1, y_start=0, y_end=1, nx=nx, ny=ny,
                               a=1.0,
                               rhs=lambda x, y, t: np.sin(np.pi * x) * np.sin(np.pi * y) * np.ones_like(t * x * y),
                               init_cond=lambda x, y: np.sin(np.pi * x) * np.sin(np.pi * y),
-                              t_interval=t[:: m ** lvl]))
+                              t_interval=t[::stride]))
+        if lvl < len(ms):
+            stride *= ms[lvl]
 
     # Count fine-level step evaluations
     counter = {"n": 0}
@@ -53,12 +58,18 @@ def main(nt=4097, nx=65, ny=65, levels=4, m=4, tol=1e-7, max_iter=10):
 
 
 if __name__ == "__main__":
-    # args: nt [nx [ny [levels [m]]]] — steps/s is dominated by per-step
-    # spsolve cost, so a reduced nt at the same spatial size measures the
-    # same steps/s as the full TOMS-scale run in bounded time.
+    # args: nt [nx [ny [levels [m [max_iter [ms]]]]]] — steps/s is dominated
+    # by per-step spsolve cost, so a reduced nt at the same spatial size
+    # measures the same steps/s as the full TOMS-scale run; passing the full
+    # nt with a bounded max_iter measures it directly (one iteration at the
+    # TOMS scale is ~49k fine steps).  ms = comma-separated per-level
+    # coarsening (e.g. 32,16,4,4) overriding the uniform m.
     nt = int(sys.argv[1]) if len(sys.argv) > 1 else 4097
     nx = int(sys.argv[2]) if len(sys.argv) > 2 else 65
     ny = int(sys.argv[3]) if len(sys.argv) > 3 else nx
     levels = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     m = int(sys.argv[5]) if len(sys.argv) > 5 else 4
-    main(nt=nt, nx=nx, ny=ny, levels=levels, m=m)
+    max_iter = int(sys.argv[6]) if len(sys.argv) > 6 else 10
+    ms = ([int(x) for x in sys.argv[7].split(",")]
+          if len(sys.argv) > 7 else None)
+    main(nt=nt, nx=nx, ny=ny, levels=levels, m=m, max_iter=max_iter, ms=ms)
