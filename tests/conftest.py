@@ -59,7 +59,7 @@ _REF_PRESENT = os.path.isdir("/root/reference/src")
 
 _REF_MODULES = {
     "test_cross_validation", "test_cross_validation_2", "test_partition",
-    "test_grid_transfer_2d", "test_step_parity",
+    "test_grid_transfer_2d", "test_step_parity", "test_arenstorf_parity",
 }
 _REF_TESTS = {"test_parsers_match_reference"}   # in test_induction_machine
 _SLOW_MODULES = {

@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--nt", type=int, default=1025)
     ap.add_argument("--nx", type=int, default=33)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--executor", choices=["gspmd", "shard_map"],
+                    default="shard_map")
+    ap.add_argument("--out", default=None,
+                    help="write the results JSON to this path")
     args = ap.parse_args()
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -30,10 +34,11 @@ def main():
 
     import numpy as np
     import jax
-    if len(jax.devices()) < args.devices:
+    if os.environ.get("JAX_PLATFORMS") == "cpu" or len(jax.devices()) < args.devices:
         jax.config.update("jax_platforms", "cpu")
 
     from pymgrit_tpu import Heat2D, Mgrit
+    from pymgrit_tpu.parallel.shard_solver import ShardedMgrit
     from pymgrit_tpu.parallel.sharding import make_time_space_mesh
 
     def build(nt):
@@ -49,9 +54,16 @@ def main():
     n = 1
     while n <= args.devices:
         nt = args.nt if args.mode == "strong" else (args.nt - 1) * n + 1
-        mesh = make_time_space_mesh(n_time=n, n_space=1) if n > 1 else None
-        m = Mgrit(problem=build(nt), tol=1e-300, max_iter=args.iters,
-                  logging_lvl=30, mesh=mesh)
+        if args.executor == "shard_map":
+            # same executor at every point (a 1-device mesh degenerates to
+            # serial) so the curve isolates scaling, not executor choice
+            mesh = make_time_space_mesh(n_time=n, n_space=1)
+            m = ShardedMgrit(problem=build(nt), mesh=mesh, tol=1e-300,
+                             max_iter=args.iters, logging_lvl=30)
+        else:
+            mesh = make_time_space_mesh(n_time=n, n_space=1) if n > 1 else None
+            m = Mgrit(problem=build(nt), tol=1e-300, max_iter=args.iters,
+                      logging_lvl=30, mesh=mesh)
         m.solve_compiled()                     # compile + warm
         m.conv = np.zeros(m.iter_max + 1)
         t0 = time.time()
@@ -68,7 +80,17 @@ def main():
             r["efficiency"] = round(base / r["solve_s"] / r["n_time"], 3)
         else:
             r["efficiency"] = round(base / r["solve_s"], 3)
-    print(json.dumps({"mode": args.mode, "results": results}))
+    summary = {"mode": args.mode, "executor": args.executor,
+               "devices": args.devices,
+               "platform": jax.devices()[0].platform,
+               "note": ("virtual CPU devices measure the collective-program "
+                        "SHAPE (comm/compute structure), not real-chip "
+                        "speedup; rerun on a pod slice for hardware numbers"),
+               "results": results}
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=2)
 
 
 if __name__ == "__main__":
