@@ -398,9 +398,15 @@ def main():
         try:
             xl = run_ours(nm, nx=257, ny=257, nt=2 ** 14 + 1,
                           ms=[32, 16, 4, 4], max_iter=5, basis=basis)
-        except Exception as e:                      # OOM etc.: report, keep going
+        except Exception as e:                      # OOM etc.: report + retry
             result[nm + "_error"] = repr(e)[:200]
-            continue
+            try:                                    # quarter-nt fallback row
+                xl = run_ours(nm + "_nt4097", nx=257, ny=257, nt=4097,
+                              ms=[32, 16, 4], max_iter=5, basis=basis)
+                nm = nm + "_nt4097"
+            except Exception as e2:
+                result[nm + "_nt4097_error"] = repr(e2)[:200]
+                continue
         result[nm + "_steps_per_sec"] = round(xl["steps_per_sec"], 2)
         result[nm + "_conv"] = [float(f"{c:.4e}") for c in xl["conv"]]
         if "executed_tflops_per_sec" in xl:

@@ -287,6 +287,66 @@ class Heat2D(Application):
         denom = 1.0 + shift * (self.lamx[:, None] + self.lamy[None, :])
         return self.Sx @ (bh / denom) @ self.Sy
 
+    # -- flat batched transforms (round-3 perf): a vmap of (n,n)@(n,n)
+    # matmuls lowers to B small batched GEMMs (each padded to the 128 MXU
+    # tile, ~60us apiece on chip); tensordot reshapes the batch into ONE
+    # (n, B*n) GEMM.  Measured on the TOMS config: c_relax 34ms -> flat. --
+
+    def _lx(self, S, b):
+        """S @ b over axis -2 of a (..., n, m) batch, as one flat GEMM."""
+        out = jnp.tensordot(S, b, axes=((1,), (b.ndim - 2,)))
+        return jnp.moveaxis(out, 0, -2)
+
+    def _rx(self, b, S):
+        """b @ S over axis -1 (already flat: (B*n, n) @ (n, n))."""
+        return jnp.tensordot(b, S, axes=((b.ndim - 1,), (0,)))
+
+    def _solve_interior_batched(self, shift, b):
+        """Batched (I + shift*L_int) x = b for b (B, nxi, nyi); shift
+        broadcastable (B, 1, 1).  Same algebra as _solve_interior."""
+        Sx = jnp.asarray(self._Sx_np).astype(b.dtype)
+        Sy = jnp.asarray(self._Sy_np).astype(b.dtype)
+        bh = self._rx(self._lx(Sx, b), Sy)
+        denom = 1.0 + shift * jnp.asarray(self._Lam_np)[None]
+        return self._rx(self._lx(Sx, bh / denom), Sy)
+
+    def step_batched(self, u_tube, t_starts, t_stops):
+        """Batched theta-step over a (B, nx, ny) tube — the solver's
+        relaxation sweeps call this instead of vmap(step) (core
+        solver.py:_vstep).  Physical basis only; spectral steps are already
+        elementwise and DD dispatches through the scalar path."""
+        if self._spectral or self._dd or self.theta == 0.0:
+            return jax.vmap(self.step, in_axes=(0, 0, 0))(u_tube, t_starts,
+                                                          t_stops)
+        dt = (t_stops - t_starts)[:, None, None]
+        shift = self.theta * dt
+        # rhs samples via vmap (keeps arbitrary user callables working)
+        rhs_stop = jax.vmap(self._rhs_at)(t_stops)
+        if self.theta == 1.0:
+            b_int = u_tube[:, 1:-1, 1:-1] + dt * rhs_stop
+        else:
+            rhs_start = jax.vmap(self._rhs_at)(t_starts)
+            Lu = jax.vmap(self._apply_L)(u_tube)
+            b_full = u_tube - shift * Lu
+            b_int = b_full[:, 1:-1, 1:-1] + dt * (
+                self.theta * rhs_stop + (1 - self.theta) * rhs_start)
+        # boundary lift: the ring of b is the Dirichlet data (set_bc)
+        b_int = b_int.at[:, :, 0].add(
+            shift[:, :, 0] * self.fy * self.bc_left_arr[1:-1])
+        b_int = b_int.at[:, :, -1].add(
+            shift[:, :, 0] * self.fy * self.bc_right_arr[1:-1])
+        b_int = b_int.at[:, 0, :].add(
+            shift[:, :, 0] * self.fx * self.bc_top_arr[1:-1])
+        b_int = b_int.at[:, -1, :].add(
+            shift[:, :, 0] * self.fx * self.bc_bottom_arr[1:-1])
+        new_int = self._solve_interior_batched(shift, b_int)
+        out = jnp.zeros_like(u_tube).at[:, 1:-1, 1:-1].set(new_int)
+        out = out.at[:, :, 0].set(jnp.asarray(self.bc_left_arr))
+        out = out.at[:, :, -1].set(jnp.asarray(self.bc_right_arr))
+        out = out.at[:, -1, :].set(jnp.asarray(self.bc_bottom_arr))
+        out = out.at[:, 0, :].set(jnp.asarray(self.bc_top_arr))
+        return out
+
     def _step_spectral(self, u, t_start, t_stop):
         """Theta-method step entirely in eigen-coefficient space: a few
         elementwise VPU ops, zero matmuls (see constructor derivation).
@@ -373,8 +433,8 @@ class Heat2D(Application):
         Sx = jnp.asarray(self._Sx_np).astype(seed.dtype)
         Sy = jnp.asarray(self._Sy_np).astype(seed.dtype)
         x_int = seed[:, 1:-1, 1:-1]                          # (J, nxi, nyi)
-        xhat = jnp.einsum('ij,bjk,kl->bil', Sx, x_int, Sy)
-        yhat = xhat[None] * A_t[:, None] + G_t[:, None]      # (m1, J, ...)
+        xhat = self._rx(self._lx(Sx, x_int), Sy)
+        delta_c, A_km1 = None, None
         if self.theta < 1.0:
             # CN's explicit half reads the seed's CARRIED boundary ring;
             # the tables assume ring == bc data.  First-step correction
@@ -387,21 +447,37 @@ class Heat2D(Application):
             dl = dl.at[:, 0, :].add(self.fx * seed[:, 0, 1:-1])
             dl = dl.at[:, -1, :].add(self.fx * seed[:, -1, 1:-1])
             dl = dl - jnp.asarray(self._lift_np).astype(seed.dtype)
-            dhat = jnp.einsum('ij,bjk,kl->bil', Sx, dl, Sy)
+            dhat = self._rx(self._lx(Sx, dl), Sy)
             shift = self.theta * dt
             denom = 1.0 + shift * self._Lam_np
             delta_c = dhat * (shift / denom)
             A_km1 = np.concatenate([np.ones((1,) + self._Lam_np.shape),
                                     A_t[:-1]])
-            yhat = yhat + delta_c[None] * A_km1[:, None]
-        y_int = jnp.einsum('ij,sbjk,kl->sbil', Sx, yhat, Sy)
-        out = jnp.zeros(y_int.shape[:2] + (self.nx, self.ny), y_int.dtype)
-        out = out.at[:, :, 1:-1, 1:-1].set(y_int)
-        out = out.at[:, :, :, 0].set(jnp.asarray(self.bc_left_arr))
-        out = out.at[:, :, :, -1].set(jnp.asarray(self.bc_right_arr))
-        out = out.at[:, :, -1, :].set(jnp.asarray(self.bc_bottom_arr))
-        out = out.at[:, :, 0, :].set(jnp.asarray(self.bc_top_arr))
-        return out
+
+        def back(lo, hi):
+            """F-values for table rows lo:hi — (hi-lo, J, nx, ny)."""
+            yhat = xhat[None] * A_t[lo:hi, None] + G_t[lo:hi, None]
+            if delta_c is not None:
+                yhat = yhat + delta_c[None] * A_km1[lo:hi, None]
+            y_int = self._rx(self._lx(Sx, yhat), Sy)
+            out = jnp.zeros(y_int.shape[:2] + (self.nx, self.ny), y_int.dtype)
+            out = out.at[:, :, 1:-1, 1:-1].set(y_int)
+            out = out.at[:, :, :, 0].set(jnp.asarray(self.bc_left_arr))
+            out = out.at[:, :, :, -1].set(jnp.asarray(self.bc_right_arr))
+            out = out.at[:, :, -1, :].set(jnp.asarray(self.bc_bottom_arr))
+            out = out.at[:, :, 0, :].set(jnp.asarray(self.bc_top_arr))
+            return out
+
+        # chunk the (m1, J, nxi, nyi) workspace to ~512 MB f32 so the TOMS
+        # 257^2 scale fits HBM (the full fine tube alone is ~4.3 GB there)
+        elems = m1 * seed.shape[0] * (self.nx - 2) * (self.ny - 2)
+        n_chunks = max(1, -(-elems // (128 * 1024 * 1024)))
+        if n_chunks == 1:
+            return back(0, m1)
+        step_sz = -(-m1 // n_chunks)
+        parts = [back(lo, min(lo + step_sz, m1))
+                 for lo in range(0, m1, step_sz)]
+        return jnp.concatenate(parts, axis=0)
 
     def to_physical(self, u_hat):
         """Spectral coefficients -> full (..., nx, ny) field with the

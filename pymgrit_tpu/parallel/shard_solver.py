@@ -422,6 +422,12 @@ class ShardedMgrit:
     # ------------------------------------------------------------------
 
     def _vstep(self, lvl):
+        # prefer an application-provided flat batched stepper (same
+        # contract as core solver.py:_vstep) so both executors run
+        # identical arithmetic
+        batched = getattr(self.problem[lvl], "step_batched", None)
+        if batched is not None:
+            return batched
         return jax.vmap(self.step_fns[lvl], in_axes=(0, 0, 0))
 
     def _halo_prev_f(self, blocks, lvl):

@@ -73,13 +73,26 @@ def test_weighted_and_norms():
         np.testing.assert_allclose(conv, base, rtol=1e-6, atol=1e-15, err_msg=str(kw))
 
 
-def test_validation_non_uniform():
+def test_non_uniform_runs_and_matches_serial():
+    """Round-3: non-uniform coarsening runs natively on the sharded
+    executor (the round-2 raise is gone) — ragged blocks + GS chains; the
+    full battery lives in test_shard_nonuniform.py."""
     mesh = make_time_space_mesh(n_time=8, n_space=1)
     t = np.linspace(0, 5, 101)
-    fine = Dahlquist(t_interval=t)
-    coarse = Dahlquist(t_interval=t[np.array([0, 1, 3, 7, 30, 60, 100])])
-    with pytest.raises(Exception):
-        ShardedMgrit(problem=[fine, coarse], mesh=mesh)
+    idx = np.array([0, 1, 3, 7, 30, 60, 100])
+
+    def mk():
+        return [Dahlquist(t_interval=t.copy()),
+                Dahlquist(t_interval=t[idx].copy())]
+
+    s = ShardedMgrit(problem=mk(), mesh=mesh, tol=1e-10, max_iter=8,
+                     logging_lvl=30)
+    assert s._general
+    conv_sh = s.solve()['conv']
+    conv_core = Mgrit(problem=mk(), tol=1e-10, max_iter=8,
+                      logging_lvl=30).solve()['conv']
+    assert len(conv_sh) == len(conv_core)
+    np.testing.assert_allclose(conv_sh, conv_core, rtol=1e-7, atol=1e-12)
 
 
 def test_padded_nondivisible_matches_serial():
