@@ -161,11 +161,12 @@ class Heat1D(Application):
         self._itbl_cache[key] = out
         return out
 
-    def relax_interval(self, seed, t_prev, t_curr):
+    def relax_interval(self, seed, t_prev, t_curr, only_last=False):
         """Solver fast-path hook (core/solver.py:_f_relax_uniform): all m-1
-        F-values per interval in one batched closed-form expression.  Works
-        in both bases (see Heat2D.relax_interval); declines for non-uniform
-        dt, time-dependent rhs, or DD-physical."""
+        F-values per interval in one batched closed-form expression; with
+        only_last, just row m-1 (lazy F-relaxation).  Works in both bases
+        (see Heat2D.relax_interval); declines for non-uniform dt,
+        time-dependent rhs, or DD-physical."""
         if not self._spectral and self._dd:
             return None
         dts = np.asarray(t_curr, np.float64) - np.asarray(t_prev, np.float64)
@@ -178,18 +179,19 @@ class Heat1D(Application):
             return None
         m1 = t_prev.shape[0]
         A_t, G_t = self._interval_tables(dt, m1)
+        sel = slice(m1 - 1, m1) if only_last else slice(None)
         if self._spectral:
             if self._dd:
                 from pymgrit_tpu.ops.dd import _raw
-                A_k = _raw(jnp.asarray(A_t[0]), jnp.asarray(A_t[1]))
-                G_k = _raw(jnp.asarray(G_t[0]), jnp.asarray(G_t[1]))
+                A_k = _raw(jnp.asarray(A_t[0][sel]), jnp.asarray(A_t[1][sel]))
+                G_k = _raw(jnp.asarray(G_t[0][sel]), jnp.asarray(G_t[1][sel]))
                 return A_k[:, None] * seed[None] + G_k[:, None]
-            return seed[None] * A_t[:, None] + G_t[:, None]
+            return seed[None] * A_t[sel, None] + G_t[sel, None]
         # physical basis: transform seeds, apply tables, transform back in
         # one batched GEMM (homogeneous Dirichlet: no boundary ring terms)
         S = jnp.asarray(self._S_np).astype(seed.dtype)
         xhat = jnp.einsum('ij,bj->bi', S, seed)              # (J, nx)
-        yhat = xhat[None] * A_t[:, None] + G_t[:, None]      # (m1, J, nx)
+        yhat = xhat[None] * A_t[sel, None] + G_t[sel, None]
         return jnp.einsum('sbj,jk->sbk', yhat, S)
 
     def to_physical(self, u_hat):

@@ -397,7 +397,7 @@ class Heat2D(Application):
         self._itbl_cache[key] = out
         return out
 
-    def relax_interval(self, seed, t_prev, t_curr):
+    def relax_interval(self, seed, t_prev, t_curr, only_last=False):
         """Solver fast-path hook (core/solver.py:_f_relax_uniform): all m-1
         F-values of every interval in ONE batched closed-form expression —
         no sequential scan.  Works in BOTH bases (the physical BE/CN step
@@ -406,8 +406,11 @@ class Heat2D(Application):
         transforms the J seeds (2 GEMMs), applies A^k x^ + G_k, and
         transforms all (m-1, J) results back in one batched GEMM pair —
         the scan that kept the MXU ~1/3 busy becomes two large matmuls.
-        Declines (None) for non-uniform dt, time-dependent rhs, FE, or
-        DD-physical."""
+        only_last=True returns just row m-1 (shape (1, J, ...)) — the lazy
+        F-relaxation mode: during iterations only the last F-value of each
+        interval is ever consumed, so the solver skips materializing the
+        rest (solver.py:_f_relax_uniform).  Declines (None) for non-uniform
+        dt, time-dependent rhs, FE, or DD-physical."""
         if not self._spectral and (self._dd or self.theta == 0.0):
             return None
         dts = np.asarray(t_curr, np.float64) - np.asarray(t_prev, np.float64)
@@ -420,14 +423,15 @@ class Heat2D(Application):
             return None                           # time-dependent rhs
         m1 = t_prev.shape[0]
         A_t, G_t = self._interval_tables(dt, m1)
+        sel = slice(m1 - 1, m1) if only_last else slice(None)
         if self._spectral:
             if self._dd:
                 from pymgrit_tpu.ops.dd import _raw
-                A_k = _raw(jnp.asarray(A_t[0]), jnp.asarray(A_t[1]))
-                G_k = _raw(jnp.asarray(G_t[0]), jnp.asarray(G_t[1]))
+                A_k = _raw(jnp.asarray(A_t[0][sel]), jnp.asarray(A_t[1][sel]))
+                G_k = _raw(jnp.asarray(G_t[0][sel]), jnp.asarray(G_t[1][sel]))
                 return A_k[:, None] * seed[None] + G_k[:, None]
             # seed first so the traced operand drives the dtype/dispatch
-            return seed[None] * A_t[:, None] + G_t[:, None]
+            return seed[None] * A_t[sel, None] + G_t[sel, None]
 
         # ---- physical basis ----
         Sx = jnp.asarray(self._Sx_np).astype(seed.dtype)
@@ -453,12 +457,16 @@ class Heat2D(Application):
             delta_c = dhat * (shift / denom)
             A_km1 = np.concatenate([np.ones((1,) + self._Lam_np.shape),
                                     A_t[:-1]])
+        A_rows = A_t[sel]
+        G_rows = G_t[sel]
+        A_km1_rows = A_km1[sel] if A_km1 is not None else None
+        n_rows = A_rows.shape[0]
 
         def back(lo, hi):
-            """F-values for table rows lo:hi — (hi-lo, J, nx, ny)."""
-            yhat = xhat[None] * A_t[lo:hi, None] + G_t[lo:hi, None]
+            """F-values for selected table rows lo:hi — (hi-lo, J, nx, ny)."""
+            yhat = xhat[None] * A_rows[lo:hi, None] + G_rows[lo:hi, None]
             if delta_c is not None:
-                yhat = yhat + delta_c[None] * A_km1[lo:hi, None]
+                yhat = yhat + delta_c[None] * A_km1_rows[lo:hi, None]
             y_int = self._rx(self._lx(Sx, yhat), Sy)
             out = jnp.zeros(y_int.shape[:2] + (self.nx, self.ny), y_int.dtype)
             out = out.at[:, :, 1:-1, 1:-1].set(y_int)
@@ -468,15 +476,15 @@ class Heat2D(Application):
             out = out.at[:, :, 0, :].set(jnp.asarray(self.bc_top_arr))
             return out
 
-        # chunk the (m1, J, nxi, nyi) workspace to ~512 MB f32 so the TOMS
+        # chunk the (rows, J, nxi, nyi) workspace to ~512 MB f32 so the TOMS
         # 257^2 scale fits HBM (the full fine tube alone is ~4.3 GB there)
-        elems = m1 * seed.shape[0] * (self.nx - 2) * (self.ny - 2)
+        elems = n_rows * seed.shape[0] * (self.nx - 2) * (self.ny - 2)
         n_chunks = max(1, -(-elems // (128 * 1024 * 1024)))
         if n_chunks == 1:
-            return back(0, m1)
-        step_sz = -(-m1 // n_chunks)
-        parts = [back(lo, min(lo + step_sz, m1))
-                 for lo in range(0, m1, step_sz)]
+            return back(0, n_rows)
+        step_sz = -(-n_rows // n_chunks)
+        parts = [back(lo, min(lo + step_sz, n_rows))
+                 for lo in range(0, n_rows, step_sz)]
         return jnp.concatenate(parts, axis=0)
 
     def to_physical(self, u_hat):

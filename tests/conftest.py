@@ -65,6 +65,10 @@ _REF_TESTS = {"test_parsers_match_reference"}   # in test_induction_machine
 _SLOW_MODULES = {
     "test_dd_goldens", "test_dd_x64_off", "test_induction_machine_e2e",
     "test_heat_dd", "test_examples_smoke", "test_multiproc",
+    # heavy parity matrices (minutes each); the core tier keeps goldens,
+    # contracts, compiled-loop equality, and a fast sharded smoke
+    "test_heat2d_spectral", "test_shard_solver", "test_shard_features",
+    "test_shard_nonuniform", "test_mesh_invariance",
 }
 
 
