@@ -52,7 +52,8 @@ class Mgrit:
                  nested_iteration: bool = True, cf_iter=1, cycle_type: str = 'V',
                  mesh=None, logging_lvl: int = logging.INFO, output_fcn=None,
                  output_lvl: int = 1, t_norm: int = 2, random_init_guess: bool = False,
-                 conv_crit: int = 0, rng_seed: int = 0) -> None:
+                 conv_crit: int = 0, rng_seed: int = 0,
+                 lazy_f_relax: bool = False) -> None:
         logging.basicConfig(format='%(levelname)s - %(asctime)s - %(message)s',
                             datefmt='%d-%m-%y %H:%M:%S', level=logging_lvl, stream=sys.stdout)
 
@@ -182,10 +183,16 @@ class Mgrit:
                                               self.space_axis)
             self._set_state(shard_state(self._get_state(), self._shardings))
 
-        # Lazy level-0 F-relaxation (round-3): eligible when the model has
-        # the closed-form hook, execution is single-program (no mesh), and
-        # no per-iteration output hook inspects intermediate F-points.
-        self._lazy_f0 = (mesh is None
+        # Lazy level-0 F-relaxation (round-3): write only each interval's
+        # last F-value per sweep (the only row iterations consume) and
+        # materialize the rest after convergence.  OPT-IN: measured on chip
+        # (base65, 5-iteration solve_compiled A/B) the sparse update into
+        # the while_loop carry forces XLA to copy the full tube per phase
+        # and LOSES ~2x to the dense write-back (163k vs 404k steps/s), with
+        # or without sorted/unique scatter hints — kept as a knob because
+        # the trade flips when the tube no longer fits HBM (it cuts the
+        # F-sweep's working set by 1/(m-1)).
+        self._lazy_f0 = (bool(lazy_f_relax) and mesh is None
                          and hasattr(problem[0], "relax_interval")
                          and not (self.output_fcn is not None and output_lvl == 2))
 

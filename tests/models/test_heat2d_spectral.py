@@ -212,3 +212,26 @@ def test_spectral_physical_f64_history_equality():
     # absolute-roundoff-floor agreement (~1e-15 on the residual) late
     np.testing.assert_allclose(hist['spectral'], hist['physical'],
                                rtol=1e-9, atol=1e-12)
+
+
+def test_lazy_f_relax_opt_in_matches():
+    """Opt-in lazy F-relaxation (write only each interval's last F-value,
+    materialize the rest post-solve) must reproduce the default path's
+    history and final solution exactly."""
+    def mk(nt):
+        return Heat2D(x_start=0, x_end=1, y_start=0, y_end=1, nx=17, ny=17,
+                      a=1.0,
+                      rhs=lambda x, y, t: jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y)
+                      * jnp.ones_like(t * x * y),
+                      init_cond=lambda x, y: np.sin(np.pi * x) * np.sin(np.pi * y),
+                      t_start=0, t_stop=1, nt=nt)
+
+    res = {}
+    for lazy in (False, True):
+        m = Mgrit(problem=[mk(65), mk(17), mk(5)], tol=1e-9, max_iter=8,
+                  logging_lvl=30, lazy_f_relax=lazy)
+        conv = m.solve_compiled()['conv']
+        res[lazy] = (conv, np.asarray(m.u[0]))
+    assert len(res[True][0]) == len(res[False][0])
+    np.testing.assert_allclose(res[True][0], res[False][0], rtol=1e-12)
+    np.testing.assert_allclose(res[True][1], res[False][1], atol=1e-13)
