@@ -139,6 +139,11 @@ def run_ours(name, max_iter, tol=1e-300, precision=None, transfer=None,
     import numpy as _np
     from pymgrit_tpu import Mgrit
 
+    # drop prior rows' executables + their baked constants from HBM —
+    # without this the accumulated rows OOM the 257^2 config that runs
+    # fine standalone
+    jax.clear_caches()
+
     problem = build_problem(precision=precision, spatial=spatial, basis=basis,
                             **cfg)
     mgrit = Mgrit(problem=problem, transfer=transfer, tol=tol,
