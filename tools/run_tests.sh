@@ -1,18 +1,28 @@
 #!/usr/bin/env bash
-# Full test matrix runner — the analogue of the reference's tox.ini
+# Tiered test runner — the analogue of the reference's tox.ini
 # (/root/reference/tox.ini:14-29), which runs pytest plus the mpi test sets.
-# Here the distributed tier is covered by the virtual 8-device CPU mesh
-# tests under tests/parallel/ (conftest.py forces the CPU platform and the
-# device count), and the examples sweep replaces tests/mpi/test_examples.sh.
+# The distributed tier runs on the virtual 8-device CPU mesh (conftest.py
+# forces the CPU platform + device count) plus a real 2-process
+# jax.distributed run (slow tier); the examples sweep replaces
+# tests/mpi/test_examples.sh.
 #
 # Usage:
-#   tools/run_tests.sh            # unit + parallel test suite
-#   tools/run_tests.sh --full     # also sweep every example script
+#   tools/run_tests.sh            # quick core tier (<5 min, standalone-safe)
+#   tools/run_tests.sh --all      # full suite (slow + ref batteries, ~40 min)
+#   tools/run_tests.sh --full     # full suite + examples sweep + dryrun
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-python -m pytest tests/ -q "${PYTEST_ARGS[@]:-}"
+case "${1:-}" in
+  --all|--full)
+    python -m pytest tests/ -q
+    ;;
+  *)
+    python -m pytest tests/ -m core -q
+    ;;
+esac
 
 if [[ "${1:-}" == "--full" ]]; then
     python tools/run_examples.py
+    python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 fi
