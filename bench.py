@@ -229,6 +229,40 @@ def run_spatial_row():
                     nt=cfg["nt"], ms=cfg["ms"])
 
 
+def run_sharded(name, max_iter, tol=1e-300, basis='physical', **cfg):
+    """The PRODUCTION executor (shard_map, interval-major blocks) on a
+    1-device mesh — round-3 measurement: its blocked layout avoids the
+    strided tube access of the global-view solver and runs ~5-20% faster
+    even on a single chip (449k vs 372k at base65)."""
+    import jax
+    import numpy as _np
+    from jax.sharding import Mesh
+    from pymgrit_tpu.parallel.shard_solver import ShardedMgrit
+
+    jax.clear_caches()
+    p = build_problem(basis=basis, **cfg)
+    mesh = Mesh(_np.array(jax.devices()[:1]), ("time",))
+    s = ShardedMgrit(problem=p, mesh=mesh, tol=tol, max_iter=max_iter,
+                     logging_lvl=30)
+    info_first = s.solve_compiled()
+    first_conv = [float(c) for c in info_first["conv"]]
+    s.conv = _np.zeros(s.iter_max + 1)
+    t0 = time.time()
+    s.solve_compiled()
+    jax.block_until_ready(s.state[0]["blocks"])
+    solve_time = time.time() - t0
+
+    class _Acct:
+        levels = s.levels
+        cf_iter = s.cf_iter
+
+    iters = len(first_conv)
+    steps = sum(count_fine_steps_per_iter(_Acct, it == 0) for it in range(iters))
+    return {"config": name, "steps": steps, "iterations": iters,
+            "conv": first_conv, "solve_time_s": solve_time,
+            "steps_per_sec": steps / solve_time}
+
+
 def run_atmgrit_coarsest_row():
     """Distance-k coarsest-level strategy ON CHIP (round-3): a 2-level
     hierarchy with a deliberately LARGE coarsest level (nt_c = 2049).  Plain
@@ -340,6 +374,15 @@ def main():
     # basis transform (2 GEMMs), not counted in the headline.
     toms = run_ours("toms129", basis='spectral', **CONFIGS["toms129"])
     physical = run_ours("toms129_physical", **CONFIGS["toms129"])
+    # production shard_map executor on a 1-device mesh (round-3: its
+    # interval-major layout wins even single-chip); headline takes the
+    # faster of the two executors
+    sharded_sp = run_sharded("toms129_sharded", basis='spectral',
+                             **CONFIGS["toms129"])
+    sharded_ph = run_sharded("toms129_sharded_physical", **CONFIGS["toms129"])
+    headline, headline_exec = toms, "Mgrit (global-view)"
+    if sharded_sp["steps_per_sec"] > toms["steps_per_sec"]:
+        headline, headline_exec = sharded_sp, "ShardedMgrit (shard_map, 1-device mesh)"
     base = run_ours("base65", **CONFIGS["base65"])
     spatial = run_spatial_row()
     dd = run_dd_row()
@@ -356,18 +399,23 @@ def main():
     parity = parity_iters_cpu()
 
     ref_sps = (ref_full or ref_toms or {}).get("steps_per_sec")
-    vs = (toms["steps_per_sec"] / ref_sps) if ref_sps else -1.0
+    vs = (headline["steps_per_sec"] / ref_sps) if ref_sps else -1.0
     result = {
         "metric": "heat_2d 129x129 nt=16385 5-level (TOMS ex.3) MGRIT fine time-steps/sec/chip",
-        "value": round(toms["steps_per_sec"], 2),
+        "value": round(headline["steps_per_sec"], 2),
         "unit": "steps/s",
         "vs_baseline": round(vs, 3) if vs > 0 else None,
         "vs_baseline_source": ("full-nt reference measurement" if ref_full
                                else "nt-extrapolated reference measurement"),
+        "executor": headline_exec,
         "backend": toms["backend"],
-        "iterations_measured": toms["iterations"],
-        "solve_time_s": round(toms["solve_time_s"], 3),
-        "conv": [float(f"{c:.4e}") for c in toms["conv"]],
+        "iterations_measured": headline["iterations"],
+        "solve_time_s": round(headline["solve_time_s"], 3),
+        "conv": [float(f"{c:.4e}") for c in headline["conv"]],
+        "toms129_core_executor_steps_per_sec": round(toms["steps_per_sec"], 2),
+        "toms129_sharded_steps_per_sec": round(sharded_sp["steps_per_sec"], 2),
+        "toms129_sharded_physical_steps_per_sec": round(
+            sharded_ph["steps_per_sec"], 2),
         "basis": ("spectral (eigen-coefficient state; histories identical to "
                   "physical in exact arithmetic — f64-pinned; f32 floors "
                   "differ, spectral lower; physical output needs one final "
