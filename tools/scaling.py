@@ -91,6 +91,28 @@ def main():
     if args.out:
         with open(args.out, "w") as f:
             json.dump(summary, f, indent=2)
+        try:                      # companion figure (reference analogue:
+            import matplotlib     # docs/source/usage/parallelism.rst:86-142)
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            ns = [r["n_time"] for r in results]
+            ts = [r["solve_s"] for r in results]
+            fig, ax = plt.subplots(figsize=(5, 3.5))
+            ax.plot(ns, ts, "o-", label=f"{args.executor} executor")
+            ax.plot(ns, [ts[0] / n for n in ns], "k--", alpha=0.5,
+                    label="ideal")
+            ax.set_xscale("log", base=2)
+            ax.set_yscale("log")
+            ax.set_xlabel("time-axis shards")
+            ax.set_ylabel("solve wall-clock [s]")
+            ax.set_title(f"strong scaling ({summary['platform']}, "
+                         f"virtual devices)" if summary["platform"] == "cpu"
+                         else "strong scaling")
+            ax.legend(fontsize=8)
+            fig.tight_layout()
+            fig.savefig(os.path.splitext(args.out)[0] + ".png", dpi=120)
+        except Exception as e:
+            print(f"(plot skipped: {e})")
 
 
 if __name__ == "__main__":
