@@ -6,9 +6,11 @@ Primary metric (publication scale): the TOMS example-3 configuration —
 evaluations per second during the solve, on one chip.
 
 vs_baseline = our steps/sec divided by the reference PyMGRIT's steps/sec on
-this machine's CPU at the same 129x129 spatial size (reduced nt: the
-reference's per-step spsolve cost is nt-independent, so steps/s transfers;
-its published artifacts contain no absolute runtimes — BASELINE.md).
+this machine's CPU, DIRECTLY MEASURED at the full TOMS scale (nt=16385,
+5-level 32/16/4/4, 1 iteration = 49k fine steps in 79 min; cached as
+toms129_fullnt in BENCH_BASELINE_CACHE.json).  The nt-extrapolated
+measurement (reduced nt, per-step spsolve cost is nt-independent) is kept
+as a cross-check — it predicted 10.94 vs 10.37 measured, 5% conservative.
 
 Secondary rows (extras):
   base65     — round-1 comparable config (65x65, nt=4097, 4-level m=4)
