@@ -124,3 +124,47 @@ def test_fine_solution_roundtrip_nonuniform():
     s.solve()
     np.testing.assert_allclose(np.asarray(s.fine_solution()),
                                np.asarray(m_core.u[0]), rtol=1e-9, atol=1e-13)
+
+
+def test_nonuniform_dd_matches_core():
+    """DD (double-double) states through the ragged sharded path: histories
+    match the core executor's DD run."""
+    def mk():
+        t = np.linspace(0, 5, 65)
+        idx = np.array([0, 3, 10, 12, 14, 17, 23, 27, 33, 34, 55, 57, 59,
+                        61, 63, 64])
+        return [Dahlquist(t_interval=t.copy(), precision='dd'),
+                Dahlquist(t_interval=t[idx].copy(), precision='dd'),
+                Dahlquist(t_interval=t[idx][::2].copy(), precision='dd')]
+
+    conv_core = Mgrit(problem=mk(), tol=1e-10, max_iter=6,
+                      nested_iteration=False, logging_lvl=30).solve()['conv']
+    s = ShardedMgrit(problem=mk(), mesh=_mesh(4), tol=1e-10, max_iter=6,
+                     nested_iteration=False, logging_lvl=30)
+    assert s._general
+    conv_sh = s.solve()['conv']
+    assert len(conv_core) == len(conv_sh)
+    np.testing.assert_allclose(conv_sh, conv_core, rtol=1e-6, atol=1e-12)
+
+
+def test_nonuniform_atmgrit_sharded():
+    """ShardedAtMgrit (distance-k windowed coarsest) on a ragged hierarchy
+    matches the core AtMgrit."""
+    from pymgrit_tpu.core.at_mgrit import AtMgrit
+    from pymgrit_tpu.parallel.shard_solver import ShardedAtMgrit
+
+    def mk():
+        t = np.linspace(0, 5, 65)
+        idx = np.array([0, 3, 10, 12, 14, 17, 23, 27, 33, 34, 55, 57, 59,
+                        61, 63, 64])
+        return [Dahlquist(t_interval=t.copy()),
+                Dahlquist(t_interval=t[idx].copy())]
+
+    conv_core = AtMgrit(3, problem=mk(), tol=1e-10, max_iter=6,
+                        nested_iteration=False, logging_lvl=30).solve()['conv']
+    s = ShardedAtMgrit(3, problem=mk(), mesh=_mesh(4), tol=1e-10, max_iter=6,
+                       nested_iteration=False, logging_lvl=30)
+    assert s._general
+    conv_sh = s.solve()['conv']
+    assert len(conv_core) == len(conv_sh), (conv_core, conv_sh)
+    np.testing.assert_allclose(conv_sh, conv_core, rtol=1e-6, atol=1e-12)
