@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Callable
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from pymgrit_tpu.core.application import Application
@@ -207,3 +208,18 @@ class Heat1D(Application):
             return (u_start + dt * self._rhs_at(t_stop)) / (1.0 + dt * self.lam)
         b = u_start + dt * self._rhs_at(t_stop)
         return solve_shifted_1d(self.S, self.lam, dt, b)
+
+    def step_batched(self, u_tube, t_starts, t_stops):
+        """Batched BE step over a (B, nx) tube as two flat (B, nx)@(nx, nx)
+        GEMMs (S is symmetric, so S @ b == b @ S) — the solver's relaxation
+        sweeps use this instead of vmapped per-sample solves (see
+        Heat2D.step_batched for the measured rationale)."""
+        if self._spectral or self._dd:
+            return jax.vmap(self.step, in_axes=(0, 0, 0))(u_tube, t_starts,
+                                                          t_stops)
+        dt = (t_stops - t_starts)[:, None]
+        b = u_tube + dt * jax.vmap(self._rhs_at)(t_stops)
+        S = jnp.asarray(self._S_np).astype(b.dtype)
+        bh = b @ S
+        xh = bh / (1.0 + dt * jnp.asarray(self._lam_np)[None])
+        return xh @ S
