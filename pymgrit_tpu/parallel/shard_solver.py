@@ -509,7 +509,7 @@ class ShardedMgrit:
             _, ys = jax.lax.scan(body_g, x, jnp.arange(m - 1))
 
         new_blocks = jax.tree_util.tree_map(
-            lambda b, y: jnp.concatenate([b[:, 0:1], jnp.moveaxis(y, 0, 1)], axis=1),
+            lambda b, y: b.at[:, 1:].set(jnp.moveaxis(y, 0, 1)),
             blocks, ys)
         return {**u, "blocks": new_blocks}
 
@@ -803,8 +803,8 @@ class ShardedMgrit:
 
             _, ys = jax.lax.scan(body, x, (tp, tc, mk, jnp.arange(m - 1)))
             new_blocks = jax.tree_util.tree_map(
-                lambda b, y: jnp.concatenate(
-                    [b[:, 0:1], jnp.moveaxis(y, 0, 1)], axis=1), blocks, ys)
+                lambda b, y: b.at[:, 1:].set(jnp.moveaxis(y, 0, 1)),
+                blocks, ys)
             out["blocks"] = new_blocks
             blocks = new_blocks
         if self.g_trailing[lvl]:
