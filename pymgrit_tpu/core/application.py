@@ -84,3 +84,37 @@ class Application(metaclass=MetaApplication):
     def initial_tube(self, nt: int):
         """A zero tube of nt states (override for custom init)."""
         return vector.tube_of(self.vector_template, nt)
+
+    # ------------------------------------------------------------------
+    # Runtime-operand channel.  An application with large precomputed
+    # tables (basis matrices, rhs tables, closed-form relaxation tables)
+    # would otherwise have them BAKED into every jitted solver program as
+    # MLIR constants — at the 257^2 TOMS scale that is tens of MB of
+    # constants replicated across each of the ~6 traced relaxation sites,
+    # which blows up compile memory/time (round-3 `toms257_error`).  The
+    # solver instead calls `prepare_runtime` + `runtime_params` once at
+    # setup and passes the returned pytree as a real argument into every
+    # jitted entry point, rebinding it (as tracers) on the application
+    # for the duration of each trace.  No reference analogue: the
+    # reference's scipy steppers hold their CSR matrices host-side
+    # (reference heat_2d.py:250-287).
+    # ------------------------------------------------------------------
+
+    _rt = None   # bound runtime params (tracers during a solver trace)
+
+    def prepare_runtime(self, level_info) -> None:
+        """Pre-build any level-structure-dependent tables (outside jit).
+
+        Called by the solver with this level's static ``LevelInfo`` before
+        ``runtime_params`` is collected.  Default: nothing to prepare.
+        """
+
+    def runtime_params(self):
+        """Pytree of large device-array operands, or None.
+
+        Whatever is returned is passed through the jit boundary and bound
+        back onto the application (``self._rt``) while solver functions
+        trace, so traced code can prefer ``self._rt[...]`` over baking
+        host constants.
+        """
+        return None

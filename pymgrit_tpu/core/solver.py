@@ -30,6 +30,7 @@ from __future__ import annotations
 import logging
 import sys
 import time
+from contextlib import contextmanager
 from typing import Callable, List, Optional
 
 import jax
@@ -40,6 +41,33 @@ from pymgrit_tpu.core import vector
 from pymgrit_tpu.core.application import Application
 from pymgrit_tpu.core.grid_transfer import GridTransfer, GridTransferCopy
 from pymgrit_tpu.core.levels import LevelInfo, build_level_infos, validate_hierarchy
+
+
+@contextmanager
+def bind_runtime_params(problem, params):
+    """Bind per-level runtime-operand pytrees (possibly tracers) onto the
+    applications for the duration of a solver trace (see
+    core/application.py `runtime_params`)."""
+    olds = []
+    for p, prm in zip(problem, params):
+        olds.append((p, p._rt))
+        p._rt = prm
+    try:
+        yield
+    finally:
+        for p, old in reversed(olds):
+            p._rt = old
+
+
+def collect_runtime_params(problem, levels):
+    """prepare_runtime + runtime_params over a hierarchy (setup-time)."""
+    for lvl, p in enumerate(problem):
+        prep = getattr(p, "prepare_runtime", None)
+        if prep is not None:
+            prep(levels[lvl])
+    return tuple(
+        (p.runtime_params() if hasattr(p, "runtime_params") else None)
+        for p in problem)
 
 
 class Mgrit:
@@ -53,7 +81,7 @@ class Mgrit:
                  mesh=None, logging_lvl: int = logging.INFO, output_fcn=None,
                  output_lvl: int = 1, t_norm: int = 2, random_init_guess: bool = False,
                  conv_crit: int = 0, rng_seed: int = 0,
-                 lazy_f_relax: bool = False) -> None:
+                 lazy_f_relax: bool = False, condensed: bool = True) -> None:
         logging.basicConfig(format='%(levelname)s - %(asctime)s - %(message)s',
                             datefmt='%d-%m-%y %H:%M:%S', level=logging_lvl, stream=sys.stdout)
 
@@ -135,6 +163,30 @@ class Mgrit:
         self.restrict_fns: List[Callable] = [tr.restriction for tr in transfer]
         self.interp_fns: List[Callable] = [tr.interpolation for tr in transfer]
 
+        # ---- condensed level-0 carry (round-4, the HBM attack): when the
+        # fine application provides the closed-form interval hook
+        # (relax_interval), every consumer of level-0 F-rows during the
+        # iterations — C-relaxation, the FAS restriction, the residual —
+        # reads only Phi^k applied to the owning C-seed, which the hook
+        # computes directly.  So the level-0 carry is just the C-points
+        # (nc rows instead of nt): F-relaxation becomes the identity,
+        # C-relaxation/FAS/residual evaluate the closed-form "step to the
+        # next C-point" (the hook with m rows of times, only_last=True),
+        # and the full fine tube is materialized ONCE after convergence.
+        # Mathematically identical to the full algorithm (an F-relaxation
+        # always precedes every F-row read — reference mgrit.py:292-370's
+        # sweep order), it cuts level-0 HBM traffic per iteration by ~2m/3
+        # and sidesteps the sparse-carry copy that made lazy_f_relax lose
+        # (round-3 A/B).
+        self._condensed0 = False
+        self._cnd_times = None
+        if (condensed and self.lvl_max > 1 and mesh is None
+                and not lazy_f_relax
+                and not (self.output_fcn is not None and output_lvl == 2)
+                and self.levels[0].uniform and self.levels[0].m > 1
+                and getattr(problem[0], "relax_interval", None) is not None):
+            self._condensed0 = self._probe_condensed0()
+
         # ---- storage sizes: pad the time axis to a multiple of the mesh
         # 'time' axis so tubes shard evenly; pad rows are never read (all
         # solver indices are static and < nt; masked scatters write row nt,
@@ -155,6 +207,8 @@ class Mgrit:
         key = jax.random.PRNGKey(rng_seed)
         for lvl in range(self.lvl_max):
             nt = self.nt_store[lvl]
+            if lvl == 0 and self._condensed0:
+                nt = self.levels[0].cpts.size    # C-rows-only carry
             template = vector.as_f64(problem[lvl].vector_template)
             if lvl == 0 and random_init_guess:
                 key, sub = jax.random.split(key)
@@ -196,22 +250,30 @@ class Mgrit:
                          and hasattr(problem[0], "relax_interval")
                          and not (self.output_fcn is not None and output_lvl == 2))
 
+        # ---- runtime operands: big application tables enter every jitted
+        # driver as ARGUMENTS (bound back as tracers while tracing), not as
+        # baked MLIR constants (core/application.py runtime channel) ----
+        self._rt_params = collect_runtime_params(self.problem, self.levels)
+        self._has_rt = any(x is not None for x in self._rt_params)
+
         # ---- jitted drivers ----
         out_s = self._shardings
-        self._jit_nested = jax.jit(self._nested_iteration_fn, out_shardings=out_s)
-        self._jit_iter_first = jax.jit(lambda s: self._iteration_fn(s, lvl0_first_f=True),
-                                       out_shardings=out_s)
-        self._jit_iter_rest = jax.jit(lambda s: self._iteration_fn(s, lvl0_first_f=False),
-                                      out_shardings=out_s)
-        self._jit_residual_conv = jax.jit(self._residual_conv_fn)
-        self._jit_jump_conv = jax.jit(self._jump_conv_fn)
+        self._jit_nested = self._pjit(self._nested_iteration_fn, out_shardings=out_s)
+        self._jit_iter_first = self._pjit(lambda s: self._iteration_fn(s, lvl0_first_f=True),
+                                          out_shardings=out_s)
+        self._jit_iter_rest = self._pjit(lambda s: self._iteration_fn(s, lvl0_first_f=False),
+                                         out_shardings=out_s)
+        self._jit_residual_conv = self._pjit(self._residual_conv_fn)
+        self._jit_jump_conv = self._pjit(self._jump_conv_fn)
 
         if nested_iteration:
             self._run_nested_iteration()
 
         self.save_values_last_iter = None
         if conv_crit in (1, 3):
-            self.save_values_last_iter = vector.take(self.u[0], self.levels[0].cpts)
+            self.save_values_last_iter = vector.take(
+                self.u[0], np.arange(self.levels[0].cpts.size)
+                if self._condensed0 else self.levels[0].cpts)
 
         self._all_below = False
 
@@ -241,6 +303,103 @@ class Mgrit:
 
     def log_info(self, message: str) -> None:
         logging.info(message)
+
+    # ------------------------------------------------------------------
+    # runtime-operand plumbing + condensed level-0 structure
+    # ------------------------------------------------------------------
+
+    def _pjit(self, fn, **jit_kwargs):
+        """jax.jit with the applications' runtime params threaded through
+        as a leading argument and bound (as tracers) during tracing."""
+        if not getattr(self, "_has_rt", False):
+            return jax.jit(fn, **jit_kwargs)
+
+        def wrapped(params, *args, **kw):
+            with bind_runtime_params(self.problem, params):
+                return fn(*args, **kw)
+
+        jitted = jax.jit(wrapped, **jit_kwargs)
+        return lambda *args, **kw: jitted(self._rt_params, *args, **kw)
+
+    def _cnd_block_times(self, rows: int):
+        """Static (rows, J) intra-interval step times for the level-0 hook:
+        rows = m-1 (F-relaxation sweep) or m (step to the next C-point)."""
+        info = self.levels[0]
+        nt, m, t = info.nt, info.m, info.t
+        J = (nt - 1) // m
+        tp = np.stack([t[j * m:j * m + rows] for j in range(J)], 1)
+        tc = np.stack([t[j * m + 1:j * m + rows + 1] for j in range(J)], 1)
+        return tp, tc
+
+    def _probe_condensed0(self) -> bool:
+        """Eagerly check (with a 1-interval dummy seed) that the level-0
+        hook accepts this grid: it returns None for non-uniform dt,
+        time-dependent rhs, or unsupported precision/method combos."""
+        info = self.levels[0]
+        m, t = info.m, info.t
+        if len(t) < m + 1:
+            return False
+        tp = t[0:m][:, None]
+        tc = t[1:m + 1][:, None]
+        seed = vector.tube_of(vector.as_f64(self.problem[0].vector_template), 1)
+        hook = self.problem[0].relax_interval
+        try:
+            ys = hook(seed, tp, tc, only_last=True)
+        except TypeError:       # hook without only_last support
+            return False
+        return ys is not None
+
+    def _cnd_c_step(self, u_c):
+        """Closed-form Phi^m of every owning C-seed: the value each C-point
+        update / FAS residual / convergence residual consumes."""
+        nc = self.levels[0].cpts.size
+        seeds = jax.tree_util.tree_map(lambda a: a[:nc - 1], u_c)
+        if self._cnd_times is None:
+            self._cnd_times = {
+                "m": self._cnd_block_times(self.levels[0].m),
+                "m1": self._cnd_block_times(self.levels[0].m - 1)}
+        tp, tc = self._cnd_times["m"]
+        ys = self.problem[0].relax_interval(seeds, tp, tc, only_last=True)
+        return jax.tree_util.tree_map(lambda y: y[0], ys)
+
+    def _sync_condensed0(self) -> None:
+        """Re-condense self.u[0] to C-rows-only if a previous solve left it
+        materialized (the C rows of the full tube ARE the state)."""
+        if not self._condensed0:
+            return
+        nc = self.levels[0].cpts.size
+        if vector.length(self.u[0]) != nc:
+            self.u[0] = vector.take(self.u[0],
+                                    jnp.asarray(self.levels[0].cpts))
+
+    def _materialize_condensed0(self) -> None:
+        """After convergence, build the full (nt, ...) level-0 tube from
+        the condensed C-rows with one closed-form F-sweep."""
+        if not self._condensed0:
+            return
+        nc = self.levels[0].cpts.size
+        if vector.length(self.u[0]) != nc:
+            return
+        if not hasattr(self, "_jit_mat_cnd"):
+            info = self.levels[0]
+            m = info.m
+            J = nc - 1
+            tp, tc = self._cnd_block_times(m - 1)
+
+            def mat(u_c):
+                seeds = jax.tree_util.tree_map(lambda a: a[:J], u_c)
+                ys = self.problem[0].relax_interval(seeds, tp, tc)  # (m-1, J, ...)
+
+                def build(a, y):
+                    blocks = jnp.concatenate(
+                        [a[:J, None], jnp.moveaxis(y, 0, 1)], axis=1)
+                    flat = blocks.reshape((J * m,) + a.shape[1:])
+                    return jnp.concatenate([flat, a[J:J + 1]], axis=0)
+
+                return jax.tree_util.tree_map(build, u_c, ys)
+
+            self._jit_mat_cnd = self._pjit(mat)
+        self.u[0] = self._jit_mat_cnd(self.u[0])
 
     # ------------------------------------------------------------------
     # batched kernels (pure; called under jit)
@@ -398,6 +557,8 @@ class Mgrit:
     def _f_relax(self, lvl, u, g, lazy=False):
         """All F-intervals relax simultaneously (reference f_relax,
         mgrit.py:292-333: sequential within an interval, batched across)."""
+        if lvl == 0 and self._condensed0:
+            return u          # F-rows are implicit functions of the C-seeds
         info = self.levels[lvl]
         ch = info.chains
         if ch is None or ch.seed.size == 0 or ch.lmax == 0:
@@ -440,6 +601,14 @@ class Mgrit:
         C-points (non-uniform coarsening) chain Gauss-Seidel style.  Runs of
         adjacent C-points scan sequentially; with uniform m >= 2 every run
         has length 1 and this is a single fully batched step."""
+        if lvl == 0 and self._condensed0:
+            nc = self.levels[0].cpts.size
+            stepped = self._cnd_c_step(u)
+            if self.weight_c != 1.0:
+                u_c = jax.tree_util.tree_map(lambda a: a[1:nc], u)
+                stepped = vector.add(vector.scale(stepped, self.weight_c),
+                                     vector.scale(u_c, 1.0 - self.weight_c))
+            return vector.set_at(u, jnp.arange(1, nc), stepped)
         info = self.levels[lvl]
         cc = info.c_chains
         if cc is None or cc.c_idx.size == 0:
@@ -529,6 +698,23 @@ class Mgrit:
         t_c = self._as_t(info_c.t)
         vrestrict = jax.vmap(self.restrict_fns[lvl])
 
+        if lvl == 0 and self._condensed0:
+            # condensed carry: u_f IS the C-point tube; Phi(u[cm-1]) is the
+            # closed-form step to the next C-point
+            u_c = self._pad_tube(vrestrict(u_f), lvl + 1)
+            v_c = jax.tree_util.tree_map(lambda x: x, u_c)
+            stepped_f = self._cnd_c_step(u_f)
+            u_ci = jax.tree_util.tree_map(lambda a: a[1:nc], u_f)
+            inner = vector.sub(stepped_f, u_ci)
+            r = vrestrict(inner)
+            v_prev = jax.tree_util.tree_map(lambda a: a[:nc - 1], v_c)
+            stepped_c = self._vstep(lvl + 1)(v_prev, t_c[:-1], t_c[1:])
+            v_tail = jax.tree_util.tree_map(lambda a: a[1:nc], v_c)
+            g_tail = vector.add(r, vector.sub(v_tail, stepped_c))
+            g_head = jax.tree_util.tree_map(lambda a: a[0:1], g_c_old)
+            g_c = self._pad_tube(vector.concat([g_head, g_tail]), lvl + 1)
+            return u_c, v_c, g_c
+
         if info.uniform:
             # strided slices instead of gathers; concat instead of scatter
             u_at_c = jax.tree_util.tree_map(lambda a: a[0:nt:m], u_f)
@@ -580,6 +766,10 @@ class Mgrit:
         vinterp = jax.vmap(self.interp_fns[lvl])
         err = vinterp(vector.sub(vector.take(u_c, jnp.arange(1, nc)),
                                  vector.take(v_c, jnp.arange(1, nc))))
+        if lvl == 0 and self._condensed0:
+            c_new = vector.add(
+                jax.tree_util.tree_map(lambda a: a[1:nc], u_f), err)
+            return vector.set_at(u_f, jnp.arange(1, nc), c_new)
         if info.uniform:
             nt, m = info.nt, info.m
             if self.mesh is None:
@@ -647,7 +837,9 @@ class Mgrit:
             nc = self.levels[lvl].cpts.size
             vinterp = jax.vmap(self.interp_fns[lvl])
             interped = vinterp(vector.take(u[lvl + 1], jnp.arange(1, nc)))
-            u[lvl] = vector.set_at(u[lvl], jnp.asarray(self.levels[lvl].cpts[1:]), interped)
+            idx = (jnp.arange(1, nc) if (lvl == 0 and self._condensed0)
+                   else jnp.asarray(self.levels[lvl].cpts[1:]))
+            u[lvl] = vector.set_at(u[lvl], idx, interped)
             if lvl > 0:
                 self._cycle(lvl, u, v, g, 'V', True, True)
         return (tuple(u), tuple(v), tuple(g))
@@ -659,6 +851,12 @@ class Mgrit:
     def _point_residual_norms(self, u0):
         info = self.levels[0]
         t = self._as_t(info.t)
+        if self._condensed0:
+            nc = info.cpts.size
+            stepped = self._cnd_c_step(u0)
+            r = vector.sub(stepped,
+                           jax.tree_util.tree_map(lambda a: a[1:nc], u0))
+            return jax.vmap(self.state_norm)(r)
         if info.uniform:
             nt, m = info.nt, info.m
             prev = jax.tree_util.tree_map(lambda a: a[m - 1:nt:m], u0)
@@ -680,7 +878,10 @@ class Mgrit:
 
     def _jump_conv_fn(self, state, u_save):
         info = self.levels[0]
-        cpts = jnp.asarray(info.cpts if self.lvl_max > 1 else np.arange(info.nt))
+        if self._condensed0:
+            cpts = jnp.arange(info.cpts.size)   # the carry IS the C-points
+        else:
+            cpts = jnp.asarray(info.cpts if self.lvl_max > 1 else np.arange(info.nt))
         u_c = vector.take(state[0][0], cpts)
         jump = vector.sub(vector.take(u_c, jnp.arange(1, cpts.shape[0])),
                           vector.take(u_save, jnp.arange(1, cpts.shape[0])))
@@ -708,6 +909,7 @@ class Mgrit:
 
     def solve(self) -> dict:
         self.log_info("Start solve")
+        self._sync_condensed0()
         state = self._get_state()
         runtime_solve_start = time.time()
         for iteration in range(self.iter_max):
@@ -745,6 +947,7 @@ class Mgrit:
                     break
 
         self._materialize_f0()
+        self._materialize_condensed0()
         self.runtime_solve = time.time() - runtime_solve_start
         self.log_info(f"Solve took {self.runtime_solve} s")
         if self.output_fcn is not None and self.output_lvl == 1:
@@ -759,7 +962,7 @@ class Mgrit:
         if not self._lazy_f0:
             return
         if not hasattr(self, "_jit_matf0"):
-            self._jit_matf0 = jax.jit(
+            self._jit_matf0 = self._pjit(
                 lambda uu: self._f_relax(0, uu, self.g[0], lazy=False))
         self.u[0] = self._jit_matf0(self.u[0])
 
@@ -820,13 +1023,19 @@ class Mgrit:
     def solve_compiled(self) -> dict:
         """Solve with the entire iteration loop jitted on device."""
         self.log_info("Start solve (compiled loop)")
+        self._sync_condensed0()
         if not hasattr(self, "_jit_solve_loop"):
-            self._jit_solve_loop = jax.jit(self._solve_compiled_fn)
+            self._jit_solve_loop = self._pjit(self._solve_compiled_fn)
         u_save = self.save_values_last_iter
         if u_save is None:
             # dummy placeholder with the right structure for the carry
-            u_save = vector.take(self.u[0], jnp.asarray(self.levels[0].cpts)) \
-                if self.lvl_max > 1 else self.u[0]
+            if self._condensed0:
+                u_save = vector.take(self.u[0],
+                                     jnp.arange(self.levels[0].cpts.size))
+            elif self.lvl_max > 1:
+                u_save = vector.take(self.u[0], jnp.asarray(self.levels[0].cpts))
+            else:
+                u_save = self.u[0]
         runtime_solve_start = time.time()
         it, hist, state, u_save_out, conv_aux = self._jit_solve_loop(
             self._get_state(), u_save, self.compiled_conv_aux_init())
@@ -834,6 +1043,7 @@ class Mgrit:
         hist = np.asarray(hist)
         self._set_state(state)
         self._materialize_f0()
+        self._materialize_condensed0()
         self._compiled_conv_aux = conv_aux
         if self.conv_crit in (1, 3):
             self.save_values_last_iter = u_save_out
@@ -863,6 +1073,7 @@ class Mgrit:
         """Time each solver phase per level (separately jitted); returns
         {phase_name: seconds} and logs at debug level."""
         results = {}
+        self._sync_condensed0()
         state = self._get_state()
         u, v, g = state
 
@@ -878,13 +1089,13 @@ class Mgrit:
             return out
 
         for lvl in range(self.lvl_max - 1):
-            _time(f"f_relax[{lvl}]", jax.jit(lambda uu, lvl=lvl: self._f_relax(lvl, uu, g[lvl])), u[lvl])
-            _time(f"c_relax[{lvl}]", jax.jit(lambda uu, lvl=lvl: self._c_relax(lvl, uu, g[lvl])), u[lvl])
+            _time(f"f_relax[{lvl}]", self._pjit(lambda uu, lvl=lvl: self._f_relax(lvl, uu, g[lvl])), u[lvl])
+            _time(f"c_relax[{lvl}]", self._pjit(lambda uu, lvl=lvl: self._c_relax(lvl, uu, g[lvl])), u[lvl])
             _time(f"fas_residual[{lvl}]",
-                  jax.jit(lambda uu, lvl=lvl: self._fas_residual(lvl, uu, g[lvl], u[lvl + 1], g[lvl + 1])),
+                  self._pjit(lambda uu, lvl=lvl: self._fas_residual(lvl, uu, g[lvl], u[lvl + 1], g[lvl + 1])),
                   u[lvl])
         lvl = self.lvl_max - 1
-        _time(f"forward_solve[{lvl}]", jax.jit(lambda uu: self._forward_solve(lvl, uu, g[lvl])), u[lvl])
+        _time(f"forward_solve[{lvl}]", self._pjit(lambda uu: self._forward_solve(lvl, uu, g[lvl])), u[lvl])
         _time("convergence", self._jit_residual_conv, state)
         _time("full_iteration", self._jit_iter_rest, state)
         return results

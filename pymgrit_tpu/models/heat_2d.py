@@ -165,6 +165,62 @@ class Heat2D(Application):
             self._build_rhs_table()
 
     # ------------------------------------------------------------------
+    # Runtime-operand channel (core/application.py): hand the big tables
+    # to the solver as device arrays so jitted programs receive them as
+    # arguments instead of baked MLIR constants (the round-3 257^2
+    # blocker: ~16 MB of closed-form tables x ~6 traced relaxation sites).
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _itbl_key_str(dt: float, m1: int) -> str:
+        return f"{float(dt).hex()}:{int(m1)}"
+
+    def _rtp(self, name, fallback):
+        """Bound runtime param `name`, else fallback() (a host constant)."""
+        rt = self._rt
+        if rt is not None and name in rt:
+            return rt[name]
+        return fallback()
+
+    def prepare_runtime(self, level_info) -> None:
+        """Pre-build the closed-form interval tables for this level's
+        uniform block structure (both m-1 rows — F-relaxation — and m rows
+        — the condensed C-step) so runtime_params can export them."""
+        if self._dd and not self._spectral:
+            return                      # hook declines DD-physical anyway
+        if not self._spectral and self.theta == 0.0:
+            return                      # FE: hook declines
+        if not getattr(level_info, "uniform", False) or level_info.m <= 1:
+            return
+        t = np.asarray(level_info.t, dtype=np.float64)
+        if t.size < 2:
+            return
+        dts = np.diff(t)
+        if not np.allclose(dts, dts[0], rtol=1e-12, atol=0.0):
+            return
+        if getattr(self, "_rhs_tbl", None) is None or self._rhs_tbl.shape[0] != 1:
+            return                      # time-dependent rhs: hook declines
+        dt = float(dts.flat[0])
+        for m1 in (level_info.m - 1, level_info.m):
+            if m1 >= 1:
+                self._interval_tables(dt, m1)
+
+    def runtime_params(self):
+        prm = {}
+        if not self._dd:
+            prm["Sx"] = jnp.asarray(self._Sx_np)
+            prm["Sy"] = jnp.asarray(self._Sy_np)
+            prm["Lam"] = jnp.asarray(self._Lam_np)
+            prm["lift"] = jnp.asarray(self._lift_np)
+            prm["lift_hat"] = jnp.asarray(self._lift_hat_np)
+        if getattr(self, "_rhs_tbl", None) is not None:
+            prm["rhs_tbl"] = self._rhs_tbl
+            prm["rhs_tbl_times"] = self._rhs_tbl_times
+        if self._itbl_cache:
+            prm["itbl"] = {
+                self._itbl_key_str(*k): jax.tree_util.tree_map(jnp.asarray, v)
+                for k, v in self._itbl_cache.items()}
+        return prm or None
 
     def _zeros_like(self, u):
         if self._dd:
@@ -245,23 +301,24 @@ class Heat2D(Application):
         from pymgrit_tpu.ops.dd import DD
         if not (self._dd or self._spectral):
             return self.rhs(x=self._xi, y=self._yi, t=t)
+        tbl = self._rtp("rhs_tbl", lambda: self._rhs_tbl)
+        times = self._rtp("rhs_tbl_times", lambda: self._rhs_tbl_times)
         tv = t.to_float() if isinstance(t, DD) else t
-        tv = jnp.asarray(tv, dtype=self._rhs_tbl_times.dtype)
-        idx = jnp.clip(jnp.searchsorted(self._rhs_tbl_times, tv),
-                       0, self._rhs_tbl.shape[0] - 1)
+        tv = jnp.asarray(tv, dtype=times.dtype)
+        idx = jnp.clip(jnp.searchsorted(times, tv), 0, tbl.shape[0] - 1)
         idx = jnp.where((idx > 0) &
-                        (jnp.abs(self._rhs_tbl_times[idx - 1] - tv) <
-                         jnp.abs(self._rhs_tbl_times[idx] - tv)),
+                        (jnp.abs(times[idx - 1] - tv) <
+                         jnp.abs(times[idx] - tv)),
                         idx - 1, idx)
-        on_grid = self._rhs_tbl_times[idx] == tv
-        if self._rhs_tbl.shape[0] == 1:
+        on_grid = times[idx] == tv
+        if tbl.shape[0] == 1:
             on_grid = jnp.asarray(True)
         runtime = self.rhs(x=self._xi, y=self._yi, t=tv) * \
-            jnp.ones((self.nx - 2, self.ny - 2), dtype=self._rhs_tbl.dtype)
+            jnp.ones((self.nx - 2, self.ny - 2), dtype=tbl.dtype)
         if self._spectral:
-            runtime = (jnp.asarray(self._Sx_np) @ runtime @
-                       jnp.asarray(self._Sy_np)).astype(self._rhs_tbl.dtype)
-        return jnp.where(on_grid, self._rhs_tbl[idx], runtime)
+            runtime = (self._rtp("Sx", lambda: jnp.asarray(self._Sx_np)) @ runtime @
+                       self._rtp("Sy", lambda: jnp.asarray(self._Sy_np))).astype(tbl.dtype)
+        return jnp.where(on_grid, tbl[idx], runtime)
 
     def _apply_L(self, u):
         """Apply the reference's zeroed-boundary-row 5-point operator
@@ -304,10 +361,11 @@ class Heat2D(Application):
     def _solve_interior_batched(self, shift, b):
         """Batched (I + shift*L_int) x = b for b (B, nxi, nyi); shift
         broadcastable (B, 1, 1).  Same algebra as _solve_interior."""
-        Sx = jnp.asarray(self._Sx_np).astype(b.dtype)
-        Sy = jnp.asarray(self._Sy_np).astype(b.dtype)
+        Sx = self._rtp("Sx", lambda: jnp.asarray(self._Sx_np)).astype(b.dtype)
+        Sy = self._rtp("Sy", lambda: jnp.asarray(self._Sy_np)).astype(b.dtype)
         bh = self._rx(self._lx(Sx, b), Sy)
-        denom = 1.0 + shift * jnp.asarray(self._Lam_np)[None]
+        denom = 1.0 + shift * self._rtp(
+            "Lam", lambda: jnp.asarray(self._Lam_np))[None]
         return self._rx(self._lx(Sx, bh / denom), Sy)
 
     def step_batched(self, u_tube, t_starts, t_stops):
@@ -353,14 +411,19 @@ class Heat2D(Application):
         Operator-polymorphic: works for f32/f64 arrays and DD pairs."""
         dt = t_stop - t_start
         shift = dt * self.theta
-        if self.theta == 1.0:
-            b = u + dt * self._rhs_at(t_stop) + shift * self._lift_hat
+        if self._dd:
+            lift_hat, Lam = self._lift_hat, self._Lam   # DD pairs, not routed
         else:
-            b = (u - shift * (u * self._Lam)) \
-                + (shift * 2.0) * self._lift_hat \
+            lift_hat = self._rtp("lift_hat", lambda: self._lift_hat)
+            Lam = self._rtp("Lam", lambda: self._Lam)
+        if self.theta == 1.0:
+            b = u + dt * self._rhs_at(t_stop) + shift * lift_hat
+        else:
+            b = (u - shift * (u * Lam)) \
+                + (shift * 2.0) * lift_hat \
                 + dt * (self.theta * self._rhs_at(t_stop)
                         + (1 - self.theta) * self._rhs_at(t_start))
-        return b / (1.0 + shift * self._Lam)
+        return b / (1.0 + shift * Lam)
 
     def _interval_tables(self, dt, m1):
         """Per-level closed-form relaxation tables: the spectral theta-step
@@ -422,7 +485,11 @@ class Heat2D(Application):
         if self._rhs_tbl.shape[0] != 1:
             return None                           # time-dependent rhs
         m1 = t_prev.shape[0]
-        A_t, G_t = self._interval_tables(dt, m1)
+        rt = self._rt
+        tbls = None
+        if rt is not None and "itbl" in rt:
+            tbls = rt["itbl"].get(self._itbl_key_str(dt, m1))
+        A_t, G_t = tbls if tbls is not None else self._interval_tables(dt, m1)
         sel = slice(m1 - 1, m1) if only_last else slice(None)
         if self._spectral:
             if self._dd:
@@ -434,8 +501,8 @@ class Heat2D(Application):
             return seed[None] * A_t[sel, None] + G_t[sel, None]
 
         # ---- physical basis ----
-        Sx = jnp.asarray(self._Sx_np).astype(seed.dtype)
-        Sy = jnp.asarray(self._Sy_np).astype(seed.dtype)
+        Sx = self._rtp("Sx", lambda: jnp.asarray(self._Sx_np)).astype(seed.dtype)
+        Sy = self._rtp("Sy", lambda: jnp.asarray(self._Sy_np)).astype(seed.dtype)
         x_int = seed[:, 1:-1, 1:-1]                          # (J, nxi, nyi)
         xhat = self._rx(self._lx(Sx, x_int), Sy)
         delta_c, A_km1 = None, None
@@ -450,13 +517,14 @@ class Heat2D(Application):
             dl = dl.at[:, :, -1].add(self.fy * seed[:, 1:-1, -1])
             dl = dl.at[:, 0, :].add(self.fx * seed[:, 0, 1:-1])
             dl = dl.at[:, -1, :].add(self.fx * seed[:, -1, 1:-1])
-            dl = dl - jnp.asarray(self._lift_np).astype(seed.dtype)
+            dl = dl - self._rtp(
+                "lift", lambda: jnp.asarray(self._lift_np)).astype(seed.dtype)
             dhat = self._rx(self._lx(Sx, dl), Sy)
             shift = self.theta * dt
-            denom = 1.0 + shift * self._Lam_np
+            denom = 1.0 + shift * self._rtp(
+                "Lam", lambda: jnp.asarray(self._Lam_np))
             delta_c = dhat * (shift / denom)
-            A_km1 = np.concatenate([np.ones((1,) + self._Lam_np.shape),
-                                    A_t[:-1]])
+            A_km1 = jnp.concatenate([jnp.ones_like(A_t[:1]), A_t[:-1]])
         A_rows = A_t[sel]
         G_rows = G_t[sel]
         A_km1_rows = A_km1[sel] if A_km1 is not None else None

@@ -51,6 +51,7 @@ from jax import shard_map
 
 from pymgrit_tpu.core import vector
 from pymgrit_tpu.core.levels import build_level_infos, validate_hierarchy
+from pymgrit_tpu.core.solver import bind_runtime_params, collect_runtime_params
 
 
 def _pad_times(t: np.ndarray, n_points: int) -> np.ndarray:
@@ -280,6 +281,20 @@ class ShardedMgrit:
             return _ddm.from_f64(np.asarray(arr))
         return jnp.asarray(arr)
 
+    def _pjit(self, fn, **jit_kwargs):
+        """jax.jit with the applications' runtime params threaded through
+        as a leading argument and bound (as tracers) during tracing (same
+        mechanism as Mgrit._pjit)."""
+        if not getattr(self, "_has_rt", False):
+            return jax.jit(fn, **jit_kwargs)
+
+        def wrapped(params, *args, **kw):
+            with bind_runtime_params(self.problem, params):
+                return fn(*args, **kw)
+
+        jitted = jax.jit(wrapped, **jit_kwargs)
+        return lambda *args, **kw: jitted(self._rt_params, *args, **kw)
+
     @staticmethod
     def _tmap(fn, *xs):
         """tree_map that treats plain arrays as single leaves and recurses
@@ -383,9 +398,13 @@ class ShardedMgrit:
 
         self.state = {lvl: shard_entry(e) for lvl, e in state.items()}
         self._specs = self._state_specs()
-        self._jit_iter = jax.jit(self._iteration_sm, static_argnames=("first",))
-        self._jit_conv = jax.jit(self._conv_sm)
-        self._jit_nested = jax.jit(self._nested_sm)
+        # runtime operands: application tables pass through the jit boundary
+        # as arguments, not baked constants (core/application.py channel)
+        self._rt_params = collect_runtime_params(self.problem, self.levels)
+        self._has_rt = any(x is not None for x in self._rt_params)
+        self._jit_iter = self._pjit(self._iteration_sm, static_argnames=("first",))
+        self._jit_conv = self._pjit(self._conv_sm)
+        self._jit_nested = self._pjit(self._nested_sm)
         if nested:
             self.state = self._jit_nested(self.state)
         # Jump criteria compare against the previous iterate's C-points;
@@ -1009,12 +1028,36 @@ class ShardedMgrit:
         if lvl != 0 and cycle_type == 'F':
             self._cycle_sm(lvl, state, 'V', False, lvl0_first)
 
+    def _current_rt(self):
+        """The runtime-param pytrees visible at this trace level: the bound
+        (tracer) params inside a _pjit trace, else the concrete arrays."""
+        prms = tuple(p._rt for p in self.problem)
+        if all(x is None for x in prms):
+            return self._rt_params
+        return prms
+
     def _sm(self, fn):
         # axis_names: 'time' is manual (explicit collectives); any other
         # mesh axis (e.g. 'space') stays GSPMD-auto inside the body.
-        return shard_map(fn, mesh=self.mesh, in_specs=(self._specs,),
-                         out_specs=self._specs, check_vma=False,
-                         axis_names=frozenset({"time"}))
+        # Runtime params enter the shard_map body as explicit replicated
+        # inputs and are re-bound inside it (closing over outer-jit tracers
+        # from a shard_map body is not supported).
+        if not self._has_rt:
+            return shard_map(fn, mesh=self.mesh, in_specs=(self._specs,),
+                             out_specs=self._specs, check_vma=False,
+                             axis_names=frozenset({"time"}))
+
+        prm_specs = jax.tree_util.tree_map(lambda x: P(), self._rt_params)
+
+        def fn_p(params, state):
+            with bind_runtime_params(self.problem, params):
+                return fn(state)
+
+        smapped = shard_map(fn_p, mesh=self.mesh,
+                            in_specs=(prm_specs, self._specs),
+                            out_specs=self._specs, check_vma=False,
+                            axis_names=frozenset({"time"}))
+        return lambda state: smapped(self._current_rt(), state)
 
     def _iteration_sm(self, state, first):
         def body(st):
@@ -1142,11 +1185,25 @@ class ShardedMgrit:
         return conv, all_below, {"c": c_now, "last": u["last"]}
 
     def _conv_sm(self, state, u_save):
-        return shard_map(self._conv_body, mesh=self.mesh,
-                         in_specs=(self._specs, self._usave_specs),
+        if not self._has_rt:
+            return shard_map(self._conv_body, mesh=self.mesh,
+                             in_specs=(self._specs, self._usave_specs),
+                             out_specs=(P(), P(), self._usave_specs),
+                             check_vma=False,
+                             axis_names=frozenset({"time"}))(state, u_save)
+
+        prm_specs = jax.tree_util.tree_map(lambda x: P(), self._rt_params)
+
+        def body_p(params, st, usv):
+            with bind_runtime_params(self.problem, params):
+                return self._conv_body(st, usv)
+
+        return shard_map(body_p, mesh=self.mesh,
+                         in_specs=(prm_specs, self._specs, self._usave_specs),
                          out_specs=(P(), P(), self._usave_specs),
                          check_vma=False,
-                         axis_names=frozenset({"time"}))(state, u_save)
+                         axis_names=frozenset({"time"}))(
+            self._current_rt(), state, u_save)
 
     # ------------------------------------------------------------------
 
@@ -1211,11 +1268,29 @@ class ShardedMgrit:
 
             aux0 = self.compiled_conv_aux_init()
             aux_specs = self.compiled_conv_aux_specs(aux0)
-            self._jit_solve_loop = jax.jit(shard_map(
-                loop, mesh=self.mesh,
-                in_specs=(self._specs, self._usave_specs, aux_specs),
-                out_specs=(P(), P(), self._specs, self._usave_specs, aux_specs),
-                check_vma=False, axis_names=frozenset({"time"})))
+            if self._has_rt:
+                def loop_p(params, state, u_save, conv_aux):
+                    with bind_runtime_params(self.problem, params):
+                        return loop(state, u_save, conv_aux)
+
+                prm_specs = jax.tree_util.tree_map(lambda x: P(),
+                                                   self._rt_params)
+                inner = shard_map(
+                    loop_p, mesh=self.mesh,
+                    in_specs=(prm_specs, self._specs, self._usave_specs,
+                              aux_specs),
+                    out_specs=(P(), P(), self._specs, self._usave_specs,
+                               aux_specs),
+                    check_vma=False, axis_names=frozenset({"time"}))
+                jitted = jax.jit(inner)
+                self._jit_solve_loop = (
+                    lambda *a: jitted(self._rt_params, *a))
+            else:
+                self._jit_solve_loop = jax.jit(shard_map(
+                    loop, mesh=self.mesh,
+                    in_specs=(self._specs, self._usave_specs, aux_specs),
+                    out_specs=(P(), P(), self._specs, self._usave_specs, aux_specs),
+                    check_vma=False, axis_names=frozenset({"time"})))
 
         t0 = time.time()
         it, hist, self.state, self._u_save, self._compiled_conv_aux = \
