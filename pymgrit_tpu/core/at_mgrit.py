@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pymgrit_tpu.core import vector
-from pymgrit_tpu.core.solver import Mgrit
+from pymgrit_tpu.core.solver import Mgrit, scan_unroll
 
 
 class AtMgrit(Mgrit):
@@ -63,6 +63,7 @@ class AtMgrit(Mgrit):
             carry = vector.where(act, stepped, carry)
             return carry, None
 
-        x, _ = jax.lax.scan(body, x, (step_idx_cl, active))
+        x, _ = jax.lax.scan(body, x, (step_idx_cl, active),
+                            unroll=scan_unroll(k - 1))
         # Point 0 keeps its original value (no steps are active for it).
         return self._pad_tube(x, lvl)

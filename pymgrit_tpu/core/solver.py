@@ -59,6 +59,15 @@ def bind_runtime_params(problem, params):
             p._rt = old
 
 
+def scan_unroll(n: int) -> int:
+    """lax.scan unroll factor for a length-n sequential chain: short chains
+    unroll fully (XLA fuses the whole chain into a handful of kernels —
+    the coarse-level relaxations are otherwise kernel-launch-latency-bound),
+    long chains unroll in blocks of 16.  Preserves the exact op order, so
+    histories are bitwise unchanged."""
+    return max(1, int(n)) if n <= 64 else 16
+
+
 def collect_runtime_params(problem, levels):
     """prepare_runtime + runtime_params over a hierarchy (setup-time)."""
     for lvl, p in enumerate(problem):
@@ -364,13 +373,25 @@ class Mgrit:
 
     def _sync_condensed0(self) -> None:
         """Re-condense self.u[0] to C-rows-only if a previous solve left it
-        materialized (the C rows of the full tube ARE the state)."""
+        materialized (the C rows of the full tube ARE the state).  If the
+        materialized tube is untouched since _materialize_condensed0 built
+        it, reuse the stashed condensed carry (no gather, no compile in a
+        timed re-solve); a user-replaced tube falls back to a C-row gather."""
         if not self._condensed0:
             return
         nc = self.levels[0].cpts.size
-        if vector.length(self.u[0]) != nc:
-            self.u[0] = vector.take(self.u[0],
-                                    jnp.asarray(self.levels[0].cpts))
+        if vector.length(self.u[0]) == nc:
+            return
+        stash = getattr(self, "_cnd_stash", None)
+        if stash is not None and all(
+                a is b for a, b in zip(jax.tree_util.tree_leaves(self.u[0]),
+                                       stash[0])):
+            self.u[0] = stash[1]
+            return
+        if not hasattr(self, "_jit_sync_cnd"):
+            self._jit_sync_cnd = self._pjit(
+                lambda u: vector.take(u, jnp.asarray(self.levels[0].cpts)))
+        self.u[0] = self._jit_sync_cnd(self.u[0])
 
     def _materialize_condensed0(self) -> None:
         """After convergence, build the full (nt, ...) level-0 tube from
@@ -399,7 +420,11 @@ class Mgrit:
                 return jax.tree_util.tree_map(build, u_c, ys)
 
             self._jit_mat_cnd = self._pjit(mat)
-        self.u[0] = self._jit_mat_cnd(self.u[0])
+        u_c = self.u[0]
+        self.u[0] = self._jit_mat_cnd(u_c)
+        # identity-keyed stash: lets _sync_condensed0 restore the condensed
+        # carry without a gather as long as u[0] is the tube built here
+        self._cnd_stash = (jax.tree_util.tree_leaves(self.u[0]), u_c)
 
     # ------------------------------------------------------------------
     # batched kernels (pure; called under jit)
@@ -501,7 +526,8 @@ class Mgrit:
                     stepped = vstep(carry, tp, tc)
                     return stepped, stepped
 
-                _, ys = jax.lax.scan(body, x, (t_prev, t_curr))
+                _, ys = jax.lax.scan(body, x, (t_prev, t_curr),
+                                     unroll=scan_unroll(m - 1))
         else:
             t_prev = self._as_t(tp_np)
             t_curr = self._as_t(tc_np)
@@ -514,7 +540,8 @@ class Mgrit:
                 stepped = vector.add(gi, vstep(carry, tp, tc))
                 return stepped, stepped
 
-            _, ys = jax.lax.scan(body, x, (t_prev, t_curr, g_f))
+            _, ys = jax.lax.scan(body, x, (t_prev, t_curr, g_f),
+                                 unroll=scan_unroll(m - 1))
 
         if self.mesh is None:
             f_idx = jnp.asarray(
@@ -587,7 +614,8 @@ class Mgrit:
                 carry = vector.where(mk, stepped, carry)
                 return carry, carry
 
-        _, ys = jax.lax.scan(body, x, (t_prev, t_curr, mask, f_idx_cl))
+        _, ys = jax.lax.scan(body, x, (t_prev, t_curr, mask, f_idx_cl),
+                             unroll=scan_unroll(ch.lmax))
         # Scatter all (Lmax, J) results; padding lanes carry index nt -> dropped
         idx_flat = jnp.asarray(ch.f_idx.T.reshape(-1))
         vals_flat = jax.tree_util.tree_map(lambda a: a.reshape((-1,) + a.shape[2:]), ys)
@@ -653,7 +681,8 @@ class Mgrit:
             carry = vector.where(mk, unew, carry)
             return carry, carry
 
-        _, ys = jax.lax.scan(body, x, (t_prev, t_curr, mask, idx_cl))
+        _, ys = jax.lax.scan(body, x, (t_prev, t_curr, mask, idx_cl),
+                             unroll=scan_unroll(cc.rmax))
         idx_flat = jnp.asarray(cc.c_idx.T.reshape(-1))
         vals_flat = jax.tree_util.tree_map(lambda a: a.reshape((-1,) + a.shape[2:]), ys)
         return vector.set_at(u, idx_flat, vals_flat, mode="drop")
@@ -677,14 +706,16 @@ class Mgrit:
                 nxt = vector.add(gi, step(carry, t0, t1))
                 return nxt, nxt
 
-            _, rest = jax.lax.scan(body, x0, (t[:-1], t[1:], g_rest))
+            _, rest = jax.lax.scan(body, x0, (t[:-1], t[1:], g_rest),
+                                   unroll=scan_unroll(nt - 1))
         else:
             def body(carry, inp):
                 t0, t1 = inp
                 nxt = step(carry, t0, t1)
                 return nxt, nxt
 
-            _, rest = jax.lax.scan(body, x0, (t[:-1], t[1:]))
+            _, rest = jax.lax.scan(body, x0, (t[:-1], t[1:]),
+                                   unroll=scan_unroll(nt - 1))
         return self._pad_tube(vector.concat([u0, rest]), lvl)
 
     def _fas_residual(self, lvl, u_f, g_f, u_c_old, g_c_old):

@@ -51,7 +51,8 @@ from jax import shard_map
 
 from pymgrit_tpu.core import vector
 from pymgrit_tpu.core.levels import build_level_infos, validate_hierarchy
-from pymgrit_tpu.core.solver import bind_runtime_params, collect_runtime_params
+from pymgrit_tpu.core.solver import (bind_runtime_params,
+                                     collect_runtime_params, scan_unroll)
 
 
 def _pad_times(t: np.ndarray, n_points: int) -> np.ndarray:
@@ -514,7 +515,8 @@ class ShardedMgrit:
                     stepped = vstep(carry, t_loc[:, s], t_loc[:, s + 1])
                     return stepped, stepped
 
-                _, ys = jax.lax.scan(body, x, jnp.arange(m - 1))
+                _, ys = jax.lax.scan(body, x, jnp.arange(m - 1),
+                                     unroll=scan_unroll(m - 1))
         else:
             g_blocks = u["g_blocks"]
 
@@ -525,7 +527,8 @@ class ShardedMgrit:
                 stepped = vector.add(gi, stepped)
                 return stepped, stepped
 
-            _, ys = jax.lax.scan(body_g, x, jnp.arange(m - 1))
+            _, ys = jax.lax.scan(body_g, x, jnp.arange(m - 1),
+                                 unroll=scan_unroll(m - 1))
 
         new_blocks = jax.tree_util.tree_map(
             lambda b, y: b.at[:, 1:].set(jnp.moveaxis(y, 0, 1)),
@@ -726,7 +729,8 @@ class ShardedMgrit:
             nxt = vector.add(gi, step(carry, t0, t1))
             return nxt, nxt
 
-        _, rest = jax.lax.scan(body, u0, (t[:-1], t[1:], g_seq))
+        _, rest = jax.lax.scan(body, u0, (t[:-1], t[1:], g_seq),
+                               unroll=scan_unroll(len(self.t_pad[lvl]) - 1))
         # rest: (J_pad,) = points 1..J_pad; blocks hold points 0..J_pad-1
         full = jax.tree_util.tree_map(
             lambda r, z: jnp.concatenate([z[None], r[:-1]], axis=0), rest, u0)
@@ -820,7 +824,8 @@ class ShardedMgrit:
                     carry = vector.where(mki, vector.add(gi, stepped), carry)
                     return carry, carry
 
-            _, ys = jax.lax.scan(body, x, (tp, tc, mk, jnp.arange(m - 1)))
+            _, ys = jax.lax.scan(body, x, (tp, tc, mk, jnp.arange(m - 1)),
+                                 unroll=scan_unroll(m - 1))
             new_blocks = jax.tree_util.tree_map(
                 lambda b, y: b.at[:, 1:].set(jnp.moveaxis(y, 0, 1)),
                 blocks, ys)
@@ -1453,7 +1458,8 @@ class ShardedAtMgrit(ShardedMgrit):
             carry = vector.where(active, stepped, carry)
             return carry, None
 
-        x, _ = jax.lax.scan(body, x, jnp.arange(max(k - 1, 1)))
+        x, _ = jax.lax.scan(body, x, jnp.arange(max(k - 1, 1)),
+                            unroll=scan_unroll(max(k - 1, 1)))
         new_blocks = jax.tree_util.tree_map(
             lambda v: v.reshape((Jloc, 1) + v.shape[1:]), x)
 
@@ -1472,6 +1478,7 @@ class ShardedAtMgrit(ShardedMgrit):
             stepped = vector.add(gi, step(carry, t_real[i - 1], t_real[i]))
             return stepped, None
 
-        xl, _ = jax.lax.scan(body_last, xl, jnp.arange(max(Ht, 1)))
+        xl, _ = jax.lax.scan(body_last, xl, jnp.arange(max(Ht, 1)),
+                             unroll=scan_unroll(max(Ht, 1)))
         new_last = xl if Ht > 0 else u["last"]
         return {**u, "blocks": new_blocks, "last": new_last}

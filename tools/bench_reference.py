@@ -14,20 +14,37 @@ from pymgrit.heat.heat_2d import Heat2D
 from pymgrit.core.mgrit import Mgrit
 
 
-def main(nt=4097, nx=65, ny=65, levels=4, m=4, tol=1e-7, max_iter=10, ms=None):
-    problem = []
-    t = np.linspace(0, 1, nt)
-    if ms is None:
-        ms = [m] * (levels - 1)
-    stride = 1
-    for lvl in range(levels):
-        problem.append(Heat2D(x_start=0, x_end=1, y_start=0, y_end=1, nx=nx, ny=ny,
-                              a=1.0,
-                              rhs=lambda x, y, t: np.sin(np.pi * x) * np.sin(np.pi * y) * np.ones_like(t * x * y),
-                              init_cond=lambda x, y: np.sin(np.pi * x) * np.sin(np.pi * y),
-                              t_interval=t[::stride]))
+def build_allen_cahn(nt, nx, ms, t_stop):
+    """Reference Allen-Cahn hierarchy (reference allen_cahn.py:139-260,
+    example_allen_cahn.py:36-40 scaled to an at-scale nt)."""
+    from pymgrit.allen_cahn.allen_cahn import AllenCahn
+    t = np.linspace(0, t_stop, nt)
+    problem, stride = [], 1
+    for lvl in range(len(ms) + 1):
+        problem.append(AllenCahn(nx=nx, method='IMEX', t_interval=t[::stride]))
         if lvl < len(ms):
             stride *= ms[lvl]
+    return problem
+
+
+def main(nt=4097, nx=65, ny=65, levels=4, m=4, tol=1e-7, max_iter=10, ms=None,
+         model="heat2d", t_stop=1.0):
+    problem = []
+    t = np.linspace(0, t_stop, nt)
+    if ms is None:
+        ms = [m] * (levels - 1)
+    if model == "allen_cahn":
+        problem = build_allen_cahn(nt, nx, ms, t_stop)
+    else:
+        stride = 1
+        for lvl in range(levels):
+            problem.append(Heat2D(x_start=0, x_end=1, y_start=0, y_end=1, nx=nx, ny=ny,
+                                  a=1.0,
+                                  rhs=lambda x, y, t: np.sin(np.pi * x) * np.sin(np.pi * y) * np.ones_like(t * x * y),
+                                  init_cond=lambda x, y: np.sin(np.pi * x) * np.sin(np.pi * y),
+                                  t_interval=t[::stride]))
+            if lvl < len(ms):
+                stride *= ms[lvl]
 
     # Count fine-level step evaluations
     counter = {"n": 0}
@@ -47,7 +64,7 @@ def main(nt=4097, nx=65, ny=65, levels=4, m=4, tol=1e-7, max_iter=10, ms=None):
     solve_steps = counter["n"] - setup_steps
     print(json.dumps({
         "framework": "pymgrit-reference",
-        "config": f"heat_2d {nx}x{ny} nt={nt} levels={levels} m={m}",
+        "config": f"{model} {nx}x{ny} nt={nt} levels={len(ms) + 1} ms={ms}",
         "iterations": len(info["conv"]),
         "conv": [float(c) for c in info["conv"]],
         "solve_time_s": solve_time,
@@ -64,12 +81,25 @@ if __name__ == "__main__":
     # nt with a bounded max_iter measures it directly (one iteration at the
     # TOMS scale is ~49k fine steps).  ms = comma-separated per-level
     # coarsening (e.g. 32,16,4,4) overriding the uniform m.
-    nt = int(sys.argv[1]) if len(sys.argv) > 1 else 4097
-    nx = int(sys.argv[2]) if len(sys.argv) > 2 else 65
-    ny = int(sys.argv[3]) if len(sys.argv) > 3 else nx
-    levels = int(sys.argv[4]) if len(sys.argv) > 4 else 4
-    m = int(sys.argv[5]) if len(sys.argv) > 5 else 4
-    max_iter = int(sys.argv[6]) if len(sys.argv) > 6 else 10
-    ms = ([int(x) for x in sys.argv[7].split(",")]
-          if len(sys.argv) > 7 else None)
-    main(nt=nt, nx=nx, ny=ny, levels=levels, m=m, max_iter=max_iter, ms=ms)
+    argv = sys.argv[1:]
+    model = "heat2d"
+    t_stop = 1.0
+    if argv and argv[0] == "allen_cahn":
+        # allen_cahn nt nx max_iter ms t_stop
+        model = "allen_cahn"
+        nt = int(argv[1]) if len(argv) > 1 else 4097
+        nx = int(argv[2]) if len(argv) > 2 else 128
+        max_iter = int(argv[3]) if len(argv) > 3 else 1
+        ms = [int(x) for x in argv[4].split(",")] if len(argv) > 4 else [8, 8]
+        t_stop = float(argv[5]) if len(argv) > 5 else 0.032
+        main(nt=nt, nx=nx, max_iter=max_iter, ms=ms, model=model,
+             t_stop=t_stop, tol=1e-300)
+    else:
+        nt = int(argv[0]) if len(argv) > 0 else 4097
+        nx = int(argv[1]) if len(argv) > 1 else 65
+        ny = int(argv[2]) if len(argv) > 2 else nx
+        levels = int(argv[3]) if len(argv) > 3 else 4
+        m = int(argv[4]) if len(argv) > 4 else 4
+        max_iter = int(argv[5]) if len(argv) > 5 else 10
+        ms = ([int(x) for x in argv[6].split(",")] if len(argv) > 6 else None)
+        main(nt=nt, nx=nx, ny=ny, levels=levels, m=m, max_iter=max_iter, ms=ms)
