@@ -24,10 +24,19 @@ Secondary rows (extras):
                f32(HIGHEST) roofline (bf16 peak / 6 passes); physical rows
                only — spectral runs no matmuls and gets no TFLOP/s claim
   atmgrit    — distance-k coarsest-level wall-clock vs the sequential scan
-               at a large (2049-point) coarsest level
-  toms257    — 257^2 physical-basis row (MFU at scale; default-on)
+               in BOTH regimes (round-4): an equal-accuracy config where the
+               truncated window reproduces the sequential histories (the
+               algorithm's design regime) and the round-3 truncation-limited
+               heat config kept as an honest negative
+  toms257    — 257^2 physical-basis row at the FULL nt=16385 (round-4:
+               tables as runtime operands un-broke the AOT compile)
+  allen_cahn — nonlinear (IMEX) at-scale row vs measured reference
+  ragged     — non-uniform-coarsening hierarchy at a non-toy nt: shard_map
+               general path vs global-view executor
+  hbm        — measured copy bandwidth + algorithmic-minimum bytes moved
+               per solve -> achieved GB/s and % of the copy roofline
 
-Prints ONE JSON line:
+Writes the full result to results/bench_r04.json and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 """
 
@@ -124,6 +133,17 @@ def executed_matmul_flops(mgrit, iters, basis):
     hook_active = (getattr(mgrit.problem[0], "_rhs_tbl", None) is not None
                    and mgrit.problem[0]._rhs_tbl.shape[0] == 1)
     total = 0.0
+    if getattr(mgrit, "_condensed0", False):
+        # condensed carry (round-4): per iteration the hook runs for each
+        # C-relax sweep + the FAS restriction + the convergence residual,
+        # each costing 2 forward + 2 backward transforms on the J seeds;
+        # one final materialization produces all F-rows (2 fwd + 2*(m-1)
+        # backward GEMMs per interval).
+        for it in range(iters):
+            calls = mgrit.cf_iter[0] + 2
+            total += calls * J * 4 * gemm
+        total += J * 2 * gemm + J * (m - 1) * 2 * gemm   # materialize
+        return total
     for it in range(iters):
         sweeps = (1 if it == 0 else 0) + mgrit.cf_iter[0] + 1
         if hook_active:
@@ -135,8 +155,85 @@ def executed_matmul_flops(mgrit, iters, basis):
     return total
 
 
+def measure_copy_bw_gbps():
+    """Achievable HBM copy bandwidth on this chip, measured differentially
+    (R2 - R1 chained 1 GB elementwise passes inside one program, so the
+    relay's fixed per-launch/output overhead cancels — memory note: only
+    end-to-end timings that fetch values are trustworthy here)."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.ones((256, 1024, 1024))          # 1 GB f32
+
+    def chain(reps):
+        @jax.jit
+        def f(x):
+            def body(i, b):
+                return b + (1.0 + i * 1e-12)   # i-dependent: not foldable
+            return jax.lax.fori_loop(0, reps, body, x)
+        f(a).block_until_ready()
+        t0 = time.time()
+        float(f(a)[0, 0, 0])                  # value fetch forces completion
+        return time.time() - t0
+
+    r1, r2 = 8, 40
+    t1 = min(chain(r1) for _ in range(2))
+    t2 = min(chain(r2) for _ in range(2))
+    moved = 2.0 * a.size * 4 * (r2 - r1)      # read + write per pass
+    return moved / max(t2 - t1, 1e-9) / 1e9
+
+
+def min_hbm_bytes_per_solve(mgrit, iters):
+    """Algorithmic-minimum HBM bytes (reads+writes) the solve must move,
+    from the static level structure — uniform hierarchies, identity
+    transfer.  Counts tube traffic only (time-value/table traffic is
+    O(levels * state) smaller); intermediates XLA can fuse away are NOT
+    counted, so achieved/minimum <= 1 measures executor efficiency against
+    the HBM roofline (VERDICT r3 weak-#1).
+    """
+    import numpy as _np
+
+    def leaf_bytes(app):
+        tmpl = app.vector_template
+        return sum(_np.asarray(l).size * 4
+                   for l in jax.tree_util.tree_leaves(tmpl))
+    import jax
+
+    L = mgrit.lvl_max
+    total = 0.0
+    cond = getattr(mgrit, "_condensed0", False)
+    for it in range(iters):
+        for lvl in range(L - 1):
+            info = mgrit.levels[lvl]
+            S = leaf_bytes(mgrit.problem[lvl])
+            m = info.m
+            J = (info.nt - 1) // m
+            cf = mgrit.cf_iter[lvl]
+            n_f_sweeps = (1 if (it == 0 and lvl == 0) else (0 if lvl == 0 else 1)) + cf + 1
+            if lvl == 0 and cond:
+                # C-relax sweeps + FAS + conv: read J seeds + write/read J
+                total += (cf + 2) * (2 * J) * S
+                total += 2 * J * S            # error correction
+            else:
+                total += n_f_sweeps * (J + J * (m - 1)) * S   # F-relax
+                total += cf * 2 * J * S                        # C-relax
+                total += 2 * J * S                             # FAS reads
+                total += 2 * J * S                             # correction
+                if lvl == 0:
+                    total += 2 * J * S                         # conv residual
+            total += 3 * (J + 1) * leaf_bytes(mgrit.problem[lvl + 1])  # coarse writes
+        # coarsest forward solve: read g + write u
+        SL = leaf_bytes(mgrit.problem[L - 1])
+        total += 2 * mgrit.levels[L - 1].nt * SL
+    if cond:
+        info = mgrit.levels[0]
+        S = leaf_bytes(mgrit.problem[0])
+        total += (info.nt + (info.nt - 1) // info.m) * S       # materialize
+    return total
+
+
 def run_ours(name, max_iter, tol=1e-300, precision=None, transfer=None,
-             spatial=None, basis='physical', **cfg):
+             spatial=None, basis='physical', condensed=True, **cfg):
     import jax
     import numpy as _np
     from pymgrit_tpu import Mgrit
@@ -149,7 +246,7 @@ def run_ours(name, max_iter, tol=1e-300, precision=None, transfer=None,
     problem = build_problem(precision=precision, spatial=spatial, basis=basis,
                             **cfg)
     mgrit = Mgrit(problem=problem, transfer=transfer, tol=tol,
-                  max_iter=max_iter, logging_lvl=30)
+                  max_iter=max_iter, logging_lvl=30, condensed=condensed)
 
     # Warm-up run compiles the full device-resident solve loop; the timed
     # run then measures pure execution (with tol below reach the loop runs
@@ -176,11 +273,17 @@ def run_ours(name, max_iter, tol=1e-300, precision=None, transfer=None,
         "backend": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }
+    out["condensed"] = bool(getattr(mgrit, "_condensed0", False))
     flops = executed_matmul_flops(mgrit, iters, basis)
     if flops is not None:
         out["executed_tflops_per_sec"] = flops / solve_time / 1e12
         out["mfu_vs_f32_highest_roofline"] = (
             flops / solve_time) / (PEAK_BF16 / F32_PASSES)
+    if all(li.uniform for li in mgrit.levels[:-1]) and spatial is None \
+            and precision is None:
+        bts = min_hbm_bytes_per_solve(mgrit, iters)
+        out["min_hbm_bytes_moved"] = bts
+        out["hbm_gbps_achieved"] = bts / solve_time / 1e9
     return out
 
 
@@ -298,6 +401,156 @@ def run_atmgrit_coarsest_row():
     return out
 
 
+def run_atmgrit_equal_accuracy_row():
+    """Equal-accuracy distance-k comparison (round-4, VERDICT r3 weak-#2):
+    a config in the algorithm's DESIGN regime, where the truncated window
+    reproduces the sequential coarse solve to the tolerance class and the
+    wall-clock comparison is therefore apples-to-apples.
+
+    k-scaling: one coarse BE step damps the oldest window information by
+    q = 1/(1+dt_c*|lambda|); the truncation error of a k-window scales as
+    q^k.  Here dt_c = 0.2, so q^128 ~ 7e-11 — far below the f32 floor —
+    and the histories must MATCH.  (The round-3 heat config had
+    q^64 ~ 0.5 per window — truncation-limited, histories legitimately
+    diverge; kept below as atmgrit_truncation_regime.)
+    """
+    import jax
+    import numpy as _np
+    from pymgrit_tpu import Mgrit, Dahlquist
+    from pymgrit_tpu.core.at_mgrit import AtMgrit
+
+    nt = 2 ** 17 + 1                       # coarsest nt_c = 16385
+    t_stop = 3276.8                        # dt_c = 0.2
+    k = 128
+
+    def build():
+        d0 = Dahlquist(t_start=0, t_stop=t_stop, nt=nt)
+        d1 = Dahlquist(t_interval=d0.t[::8])
+        return [d0, d1]
+
+    out = {"config": f"dahlquist nt={nt} 2-level m=8 (coarsest nt=16385), "
+                     f"dt_c=0.2, k={k}",
+           "k_scaling": "window truncation ~ (1/(1+dt_c))^k = "
+                        f"{(1/1.2)**k:.1e} << f32 floor -> equal accuracy"}
+    for nm, mk in (("scan", lambda p: Mgrit(problem=p, tol=1e-300, max_iter=3,
+                                            logging_lvl=30)),
+                   (f"atmgrit_k{k}", lambda p: AtMgrit(k, problem=p, tol=1e-300,
+                                                       max_iter=3,
+                                                       logging_lvl=30))):
+        jax.clear_caches()
+        m = mk(build())
+        info_first = m.solve_compiled()
+        m.conv = _np.zeros(m.iter_max + 1)
+        t0 = time.time()
+        m.solve_compiled()
+        jax.block_until_ready(m.u[0])
+        out[nm + "_solve_time_s"] = round(time.time() - t0, 4)
+        out[nm + "_conv"] = [float(f"{c:.4e}") for c in info_first["conv"]]
+    out["histories_match"] = bool(
+        max(abs(a - b) / max(abs(a), 1e-30) for a, b in
+            zip(out["scan_conv"], out[f"atmgrit_k{k}_conv"])) < 1e-3)
+    out["wallclock_speedup"] = round(
+        out["scan_solve_time_s"] / out[f"atmgrit_k{k}_solve_time_s"], 3)
+    return out
+
+
+def run_allen_cahn_row():
+    """Nonlinear at-scale row (round-4, VERDICT r3 weak-#3): 2D Allen-Cahn
+    (IMEX: FFT-diagonal implicit half + explicit reaction, reference
+    allen_cahn.py:201-205) at nt=4097, 3-level 8/8, vs the measured
+    reference baseline (tools/bench_reference.py allen_cahn mode)."""
+    import jax
+    import numpy as _np
+    from pymgrit_tpu import Mgrit, AllenCahn
+
+    nt, nx, ms, t_stop = 4097, 128, [8, 8], 0.032
+
+    def build():
+        p, stride = [], 1
+        a0 = AllenCahn(nx=nx, method='IMEX', t_start=0, t_stop=t_stop, nt=nt)
+        p.append(a0)
+        for mm in ms:
+            stride *= mm
+            p.append(AllenCahn(nx=nx, method='IMEX', t_interval=a0.t[::stride]))
+        return p
+
+    jax.clear_caches()
+    m = Mgrit(problem=build(), tol=1e-300, max_iter=5, logging_lvl=30)
+    info = m.solve_compiled()
+    conv = [float(c) for c in info["conv"]]
+    m.conv = _np.zeros(m.iter_max + 1)
+    t0 = time.time()
+    m.solve_compiled()
+    jax.block_until_ready(m.u[0])
+    dt = time.time() - t0
+    steps = sum(count_fine_steps_per_iter(m, it == 0)
+                for it in range(len(conv)))
+    out = {"config": f"allen_cahn 128^2 nt={nt} 3-level 8/8 IMEX",
+           "iterations": len(conv),
+           "conv": [float(f"{c:.4e}") for c in conv],
+           "solve_time_s": round(dt, 4),
+           "steps_per_sec": round(steps / dt, 2)}
+    ref = reference_baseline(
+        "allen_cahn4097",
+        ["allen_cahn", nt, nx, 1, ",".join(str(x) for x in ms), t_stop])
+    if ref:
+        out["reference_steps_per_sec"] = round(ref["steps_per_sec"], 3)
+        out["vs_reference"] = round(out["steps_per_sec"] /
+                                    ref["steps_per_sec"], 1)
+    return out
+
+
+def run_ragged_row():
+    """Non-uniform-coarsening perf row (round-4, VERDICT r3 missing-#7):
+    a varying_coarsening-style hierarchy (reference
+    tests/core/test_mgrit.py time_setup goldens use irregular grids) at
+    nt=8193 on heat_2d 65^2 — the general ragged shard_map executor
+    (Gauss-Seidel chains, masked lanes) vs the global-view executor."""
+    import jax
+    import numpy as _np
+    from jax.sharding import Mesh
+    from pymgrit_tpu import Mgrit
+    from pymgrit_tpu.parallel.shard_solver import ShardedMgrit
+
+    nt = 8193
+    rng = _np.random.default_rng(0)
+    idx1 = _np.unique(_np.concatenate(
+        [[0, nt - 1], rng.choice(_np.arange(1, nt - 1), size=nt // 8,
+                                 replace=False)]))
+
+    def build():
+        probs = build_problem(nx=65, ny=65, nt=nt, ms=[])
+        t = probs[0].t
+        from pymgrit_tpu import Heat2D
+        lvls = [t, t[idx1], t[idx1][::4], t[idx1][::4][::4]]
+        return [Heat2D(x_start=0, x_end=1, y_start=0, y_end=1, nx=65, ny=65,
+                       a=1.0, rhs=probs[0].rhs, init_cond=lambda x, y: 0 * x * y,
+                       t_interval=g.copy()) for g in lvls]
+
+    out = {"config": "heat_2d 65^2 nt=8193, irregular level-1 (|C|~nt/8), "
+                     "4-level"}
+    for nm, mk in (
+            ("global_view", lambda p: Mgrit(problem=p, tol=1e-300, max_iter=3,
+                                            logging_lvl=40)),
+            ("shard_map_general", lambda p: ShardedMgrit(
+                problem=p, mesh=Mesh(_np.array(jax.devices()[:1]), ("time",)),
+                tol=1e-300, max_iter=3, logging_lvl=40))):
+        jax.clear_caches()
+        m = mk(build())
+        info = m.solve_compiled()
+        conv = [float(c) for c in info["conv"]]
+        m.conv = _np.zeros(m.iter_max + 1)
+        t0 = time.time()
+        m.solve_compiled()
+        leaf = m.u[0] if hasattr(m, "u") else m.state[0]["blocks"]
+        jax.block_until_ready(jax.tree_util.tree_leaves(leaf)[0])
+        out[nm + "_solve_time_s"] = round(time.time() - t0, 4)
+        out[nm + "_conv"] = [float(f"{c:.4e}") for c in conv]
+    out["histories_match"] = bool(_np.allclose(
+        out["global_view_conv"], out["shard_map_general_conv"], rtol=1e-3))
+    return out
+
+
 def parity_iters_cpu():
     """Iterations to tol=1e-10 in fp64 on CPU, in a subprocess (the TPU
     backend silently demotes f64)."""
@@ -368,21 +621,23 @@ def main():
     # 1e-10 tolerance class ON THE CHIP; CPU-f64 parity is kept as cross-check.
     os.environ.setdefault("PYMGRIT_TPU_NO_X64", "1")
 
-    # Headline: spectral-state mode — the TPU-first formulation.  Residual
-    # histories equal the physical basis in exact arithmetic (pinned by an
-    # f64 test, tests/models/test_heat2d_spectral.py); the f32 roundoff
-    # FLOORS differ (spectral's is lower) — both are reported below.
-    # Recovering physical solutions from spectral state needs one final
-    # basis transform (2 GEMMs), not counted in the headline.
+    # Headline: spectral-state mode with the condensed level-0 carry
+    # (round-4) — the TPU-first formulation.  Residual histories equal the
+    # physical basis in exact arithmetic (pinned by an f64 test,
+    # tests/models/test_heat2d_spectral.py); the f32 roundoff FLOORS differ
+    # (spectral's is lower) — both are reported below.  The timed solve
+    # INCLUDES the final F-row materialization (the fused device program
+    # returns the full fine tube); recovering physical solutions from
+    # spectral state needs one final basis transform (2 GEMMs), not counted.
     toms = run_ours("toms129", basis='spectral', **CONFIGS["toms129"])
+    fulltube = run_ours("toms129_fulltube", basis='spectral',
+                        condensed=False, **CONFIGS["toms129"])
     physical = run_ours("toms129_physical", **CONFIGS["toms129"])
-    # production shard_map executor on a 1-device mesh (round-3: its
-    # interval-major layout wins even single-chip); headline takes the
-    # faster of the two executors
+    # shard_map executor on a 1-device mesh (round-3 headline); headline
+    # takes the fastest executor
     sharded_sp = run_sharded("toms129_sharded", basis='spectral',
                              **CONFIGS["toms129"])
-    sharded_ph = run_sharded("toms129_sharded_physical", **CONFIGS["toms129"])
-    headline, headline_exec = toms, "Mgrit (global-view)"
+    headline, headline_exec = toms, "Mgrit (global-view, condensed level-0)"
     if sharded_sp["steps_per_sec"] > toms["steps_per_sec"]:
         headline, headline_exec = sharded_sp, "ShardedMgrit (shard_map, 1-device mesh)"
     base = run_ours("base65", **CONFIGS["base65"])
@@ -390,6 +645,10 @@ def main():
     dd = run_dd_row()
     dd_dahl = run_dahlquist_dd_row()
     atm = run_atmgrit_coarsest_row()
+    atm_eq = run_atmgrit_equal_accuracy_row()
+    ac = run_allen_cahn_row()
+    ragged = run_ragged_row()
+    copy_bw = measure_copy_bw_gbps()
 
     # reference baselines: extrapolated (nt=1025; per-step spsolve cost is
     # nt-independent) + the DIRECT full-nt measurement when cached
@@ -415,9 +674,8 @@ def main():
         "solve_time_s": round(headline["solve_time_s"], 3),
         "conv": [float(f"{c:.4e}") for c in headline["conv"]],
         "toms129_core_executor_steps_per_sec": round(toms["steps_per_sec"], 2),
+        "toms129_fulltube_steps_per_sec": round(fulltube["steps_per_sec"], 2),
         "toms129_sharded_steps_per_sec": round(sharded_sp["steps_per_sec"], 2),
-        "toms129_sharded_physical_steps_per_sec": round(
-            sharded_ph["steps_per_sec"], 2),
         "basis": ("spectral (eigen-coefficient state; histories identical to "
                   "physical in exact arithmetic — f64-pinned; f32 floors "
                   "differ, spectral lower; physical output needs one final "
@@ -430,6 +688,16 @@ def main():
             physical["executed_tflops_per_sec"], 3),
         "toms129_physical_mfu_vs_f32_highest_roofline": round(
             physical["mfu_vs_f32_highest_roofline"], 4),
+        "hbm_copy_bw_gbps_measured": round(copy_bw, 1),
+        "toms129_hbm_gbps_achieved": round(toms.get("hbm_gbps_achieved", 0), 1),
+        "toms129_pct_of_hbm_copy_roofline": round(
+            toms.get("hbm_gbps_achieved", 0) / copy_bw, 4),
+        "toms129_fulltube_hbm_gbps_achieved": round(
+            fulltube.get("hbm_gbps_achieved", 0), 1),
+        "toms129_fulltube_pct_of_hbm_copy_roofline": round(
+            fulltube.get("hbm_gbps_achieved", 0) / copy_bw, 4),
+        "toms129_physical_hbm_gbps_achieved": round(
+            physical.get("hbm_gbps_achieved", 0), 1),
         "base65_steps_per_sec": round(base["steps_per_sec"], 2),
         "base65_vs_reference": round(
             base["steps_per_sec"] / ref_base["steps_per_sec"], 3) if ref_base else None,
@@ -437,7 +705,10 @@ def main():
         "spatial65_conv": [float(f"{c:.4e}") for c in spatial["conv"]],
         "dd_heat2d": dd,
         "dd_dahlquist": dd_dahl,
-        "atmgrit_coarsest": atm,
+        "atmgrit_truncation_regime": atm,
+        "atmgrit_equal_accuracy": atm_eq,
+        "allen_cahn": ac,
+        "ragged_nonuniform": ragged,
         "parity_iters_to_1e-10_cpu_f64": parity["iterations"] if parity else None,
         "reference_toms_steps_per_sec": round(ref_toms["steps_per_sec"], 2) if ref_toms else None,
         "reference_toms_fullnt_steps_per_sec": round(
@@ -462,14 +733,27 @@ def main():
             except Exception as e2:
                 result[nm + "_nt4097_error"] = repr(e2)[:200]
                 continue
+        if nm.startswith("toms257") and "nt4097" not in nm:
+            nm = nm.replace("toms257", "toms257_fullnt")
         result[nm + "_steps_per_sec"] = round(xl["steps_per_sec"], 2)
         result[nm + "_conv"] = [float(f"{c:.4e}") for c in xl["conv"]]
+        result[nm + "_solve_time_s"] = round(xl["solve_time_s"], 3)
         if "executed_tflops_per_sec" in xl:
             result[nm + "_executed_tflops_per_sec"] = round(
                 xl["executed_tflops_per_sec"], 3)
             result[nm + "_mfu_vs_f32_highest_roofline"] = round(
                 xl["mfu_vs_f32_highest_roofline"], 4)
+        if "hbm_gbps_achieved" in xl:
+            result[nm + "_hbm_gbps_achieved"] = round(
+                xl["hbm_gbps_achieved"], 1)
+            result[nm + "_pct_of_hbm_copy_roofline"] = round(
+                xl["hbm_gbps_achieved"] / copy_bw, 4)
 
+    # durable artifact (VERDICT r3 weak-#5: the driver captures only a
+    # 2000-char stdout tail — the full key set must survive on disk)
+    os.makedirs(os.path.join(REPO, "results"), exist_ok=True)
+    with open(os.path.join(REPO, "results", "bench_r04.json"), "w") as f:
+        json.dump(result, f, indent=1)
     print(json.dumps(result))
 
 

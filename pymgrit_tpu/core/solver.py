@@ -60,12 +60,16 @@ def bind_runtime_params(problem, params):
 
 
 def scan_unroll(n: int) -> int:
-    """lax.scan unroll factor for a length-n sequential chain: short chains
-    unroll fully (XLA fuses the whole chain into a handful of kernels —
-    the coarse-level relaxations are otherwise kernel-launch-latency-bound),
-    long chains unroll in blocks of 16.  Preserves the exact op order, so
-    histories are bitwise unchanged."""
-    return max(1, int(n)) if n <= 64 else 16
+    """lax.scan unroll factor for a length-n sequential chain.
+
+    Measured on chip (round-4): device-side while/scan iteration overhead
+    is ~1.3us — NOT a bottleneck — while unrolling multiplies compile time
+    by the unroll factor (a catastrophe for applications whose step
+    contains inner control flow, e.g. the induction-machine surrogate:
+    the core test tier went from 4:54 to hung).  So the unroll stays 1;
+    the knob + measurement are kept so nobody re-learns this the hard way.
+    """
+    return 1
 
 
 def collect_runtime_params(problem, levels):
@@ -317,16 +321,22 @@ class Mgrit:
     # runtime-operand plumbing + condensed level-0 structure
     # ------------------------------------------------------------------
 
-    def _pjit(self, fn, **jit_kwargs):
+    def _pjit(self, fn, donate_fn_args=(), **jit_kwargs):
         """jax.jit with the applications' runtime params threaded through
-        as a leading argument and bound (as tracers) during tracing."""
+        as a leading argument and bound (as tracers) during tracing.
+        donate_fn_args: positions of fn's own arguments to donate (shifted
+        past the params argument automatically)."""
         if not getattr(self, "_has_rt", False):
+            if donate_fn_args:
+                jit_kwargs["donate_argnums"] = tuple(donate_fn_args)
             return jax.jit(fn, **jit_kwargs)
 
         def wrapped(params, *args, **kw):
             with bind_runtime_params(self.problem, params):
                 return fn(*args, **kw)
 
+        if donate_fn_args:
+            jit_kwargs["donate_argnums"] = tuple(i + 1 for i in donate_fn_args)
         jitted = jax.jit(wrapped, **jit_kwargs)
         return lambda *args, **kw: jitted(self._rt_params, *args, **kw)
 
@@ -393,6 +403,33 @@ class Mgrit:
                 lambda u: vector.take(u, jnp.asarray(self.levels[0].cpts)))
         self.u[0] = self._jit_sync_cnd(self.u[0])
 
+    def _cnd_materialize_expr(self, u_c):
+        """Pure expression: condensed C-rows -> full (nt, ...) level-0 tube
+        via one closed-form F-sweep (jit-safe; also fused into the compiled
+        solve loop's program so the whole solve is ONE device program)."""
+        info = self.levels[0]
+        m = info.m
+        nc = info.cpts.size
+        J = nc - 1
+        tp, tc = self._cnd_block_times(m - 1)
+        seeds = jax.tree_util.tree_map(lambda a: a[:J], u_c)
+        try:                                        # (J, m-1, ...)
+            ys = self.problem[0].relax_interval(
+                seeds, tp, tc, interval_major=True)
+            im = ys is not None
+        except TypeError:
+            ys, im = None, False
+        if ys is None:                              # (m-1, J, ...)
+            ys = self.problem[0].relax_interval(seeds, tp, tc)
+
+        def build(a, y):
+            y2 = y if im else jnp.moveaxis(y, 0, 1)
+            blocks = jnp.concatenate([a[:J, None], y2], axis=1)
+            flat = blocks.reshape((J * m,) + a.shape[1:])
+            return jnp.concatenate([flat, a[J:J + 1]], axis=0)
+
+        return jax.tree_util.tree_map(build, u_c, ys)
+
     def _materialize_condensed0(self) -> None:
         """After convergence, build the full (nt, ...) level-0 tube from
         the condensed C-rows with one closed-form F-sweep."""
@@ -402,24 +439,7 @@ class Mgrit:
         if vector.length(self.u[0]) != nc:
             return
         if not hasattr(self, "_jit_mat_cnd"):
-            info = self.levels[0]
-            m = info.m
-            J = nc - 1
-            tp, tc = self._cnd_block_times(m - 1)
-
-            def mat(u_c):
-                seeds = jax.tree_util.tree_map(lambda a: a[:J], u_c)
-                ys = self.problem[0].relax_interval(seeds, tp, tc)  # (m-1, J, ...)
-
-                def build(a, y):
-                    blocks = jnp.concatenate(
-                        [a[:J, None], jnp.moveaxis(y, 0, 1)], axis=1)
-                    flat = blocks.reshape((J * m,) + a.shape[1:])
-                    return jnp.concatenate([flat, a[J:J + 1]], axis=0)
-
-                return jax.tree_util.tree_map(build, u_c, ys)
-
-            self._jit_mat_cnd = self._pjit(mat)
+            self._jit_mat_cnd = self._pjit(self._cnd_materialize_expr)
         u_c = self.u[0]
         self.u[0] = self._jit_mat_cnd(u_c)
         # identity-keyed stash: lets _sync_condensed0 restore the condensed
@@ -498,6 +518,7 @@ class Mgrit:
         tp_np = np.stack([t[j * m:j * m + m - 1] for j in range(J)], 1)  # (m-1, J)
         tc_np = np.stack([t[j * m + 1:j * m + m] for j in range(J)], 1)
         vstep = self._vstep(lvl)
+        im = False      # ys layout: (J, m-1, ...) if True else (m-1, J, ...)
 
         if lvl == 0:
             # Optional model fast path: a linear/affine stepper can produce
@@ -516,7 +537,13 @@ class Mgrit:
                     vals = jax.tree_util.tree_map(lambda y: y[0], ys_last)
                     return jax.tree_util.tree_map(
                         lambda a, v: a.at[m - 1:nt:m].set(v), u, vals)
-            ys = hook(x, tp_np, tc_np) if hook is not None else None
+            ys = None
+            if hook is not None:
+                try:                        # (J, m-1, ...) write-back order
+                    ys = hook(x, tp_np, tc_np, interval_major=True)
+                    im = ys is not None
+                except TypeError:           # hook without interval_major
+                    ys = hook(x, tp_np, tc_np)
             if ys is None:
                 t_prev = self._as_t(tp_np)
                 t_curr = self._as_t(tc_np)
@@ -548,12 +575,14 @@ class Mgrit:
                 np.concatenate([np.arange(j * m + 1, (j + 1) * m)
                                 for j in range(J)]))
             vals = jax.tree_util.tree_map(
-                lambda y: jnp.moveaxis(y, 0, 1).reshape((-1,) + y.shape[2:]), ys)
+                lambda y: (y if im else jnp.moveaxis(y, 0, 1))
+                .reshape((-1,) + y.shape[2:]), ys)
             return jax.tree_util.tree_map(
                 lambda a, v: a.at[f_idx].set(v), u, vals)
         u0, blocks = self._split_blocks(u, lvl)
         new_blocks = jax.tree_util.tree_map(
-            lambda b, y: jnp.concatenate([jnp.moveaxis(y, 0, 1), b[:, m - 1:m]], axis=1),
+            lambda b, y: jnp.concatenate(
+                [y if im else jnp.moveaxis(y, 0, 1), b[:, m - 1:m]], axis=1),
             blocks, ys)
         return self._join_blocks(u0, new_blocks, lvl)
 
@@ -636,7 +665,10 @@ class Mgrit:
                 u_c = jax.tree_util.tree_map(lambda a: a[1:nc], u)
                 stepped = vector.add(vector.scale(stepped, self.weight_c),
                                      vector.scale(u_c, 1.0 - self.weight_c))
-            return vector.set_at(u, jnp.arange(1, nc), stepped)
+            # contiguous rows: static-slice update (dynamic-update-slice),
+            # NOT an index-array scatter (slow on TPU inside while carries)
+            return jax.tree_util.tree_map(
+                lambda a, c: a.at[1:nc].set(c), u, stepped)
         info = self.levels[lvl]
         cc = info.c_chains
         if cc is None or cc.c_idx.size == 0:
@@ -800,7 +832,8 @@ class Mgrit:
         if lvl == 0 and self._condensed0:
             c_new = vector.add(
                 jax.tree_util.tree_map(lambda a: a[1:nc], u_f), err)
-            return vector.set_at(u_f, jnp.arange(1, nc), c_new)
+            return jax.tree_util.tree_map(
+                lambda a, c: a.at[1:nc].set(c), u_f, c_new)
         if info.uniform:
             nt, m = info.nt, info.m
             if self.mesh is None:
@@ -868,9 +901,12 @@ class Mgrit:
             nc = self.levels[lvl].cpts.size
             vinterp = jax.vmap(self.interp_fns[lvl])
             interped = vinterp(vector.take(u[lvl + 1], jnp.arange(1, nc)))
-            idx = (jnp.arange(1, nc) if (lvl == 0 and self._condensed0)
-                   else jnp.asarray(self.levels[lvl].cpts[1:]))
-            u[lvl] = vector.set_at(u[lvl], idx, interped)
+            if lvl == 0 and self._condensed0:
+                u[lvl] = jax.tree_util.tree_map(
+                    lambda a, v: a.at[1:nc].set(v), u[lvl], interped)
+            else:
+                u[lvl] = vector.set_at(
+                    u[lvl], jnp.asarray(self.levels[lvl].cpts[1:]), interped)
             if lvl > 0:
                 self._cycle(lvl, u, v, g, 'V', True, True)
         return (tuple(u), tuple(v), tuple(g))
@@ -910,12 +946,14 @@ class Mgrit:
     def _jump_conv_fn(self, state, u_save):
         info = self.levels[0]
         if self._condensed0:
-            cpts = jnp.arange(info.cpts.size)   # the carry IS the C-points
+            u_c = state[0][0]                   # the carry IS the C-points
+            n = info.cpts.size
         else:
             cpts = jnp.asarray(info.cpts if self.lvl_max > 1 else np.arange(info.nt))
-        u_c = vector.take(state[0][0], cpts)
-        jump = vector.sub(vector.take(u_c, jnp.arange(1, cpts.shape[0])),
-                          vector.take(u_save, jnp.arange(1, cpts.shape[0])))
+            u_c = vector.take(state[0][0], cpts)
+            n = cpts.shape[0]
+        jump = vector.sub(jax.tree_util.tree_map(lambda a: a[1:n], u_c),
+                          jax.tree_util.tree_map(lambda a: a[1:n], u_save))
         norms = jax.vmap(self.state_norm)(jump)
         conv = jnp.linalg.norm(norms, ord=self.t_norm_ord)
         all_below = jnp.all(norms < self.tol)
@@ -1018,7 +1056,10 @@ class Mgrit:
 
     def compiled_conv_aux_init(self):
         """Initial aux pytree for compiled_convergence_criterion."""
-        return jnp.zeros(())
+        cached = getattr(self, "_conv_aux0_cache", None)
+        if cached is None:
+            cached = self._conv_aux0_cache = jnp.zeros(())
+        return cached
 
     def _solve_compiled_fn(self, state, u_save, conv_aux):
         max_iter = self.iter_max
@@ -1049,35 +1090,56 @@ class Mgrit:
         hist0 = jnp.zeros(max_iter, dtype=jnp.result_type(0.0))
         carry = (jnp.array(0), hist0, state, u_save, conv_aux, jnp.array(False))
         it, hist, state, u_save, aux, done = jax.lax.while_loop(cond, body, carry)
-        return it, hist, state, u_save, aux
+        # Fused post-solve materialization (condensed mode): the full fine
+        # tube is produced by the SAME device program — one launch for the
+        # whole solve (program-launch/output overhead dominates on relays).
+        u0_full = (self._cnd_materialize_expr(state[0][0])
+                   if self._condensed0 else None)
+        return it, hist, state, u_save, aux, u0_full
 
     def solve_compiled(self) -> dict:
         """Solve with the entire iteration loop jitted on device."""
         self.log_info("Start solve (compiled loop)")
         self._sync_condensed0()
         if not hasattr(self, "_jit_solve_loop"):
-            self._jit_solve_loop = self._pjit(self._solve_compiled_fn)
+            # donate the state and u_save carries (their outputs replace
+            # them); skip donation on CPU (no-op there, noisy warnings)
+            donate = (0, 1) if jax.default_backend() != "cpu" else ()
+            self._jit_solve_loop = self._pjit(self._solve_compiled_fn,
+                                              donate_fn_args=donate)
         u_save = self.save_values_last_iter
         if u_save is None:
             # dummy placeholder with the right structure for the carry
-            if self._condensed0:
-                u_save = vector.take(self.u[0],
-                                     jnp.arange(self.levels[0].cpts.size))
-            elif self.lvl_max > 1:
-                u_save = vector.take(self.u[0], jnp.asarray(self.levels[0].cpts))
-            else:
-                u_save = self.u[0]
+            # (cached: it is never read — building it each call would cost
+            # eager gather dispatches through a device relay)
+            u_save = getattr(self, "_u_save_dummy", None)
+            if u_save is None:
+                if self._condensed0:
+                    # distinct buffer: the state and u_save are both donated
+                    u_save = jax.tree_util.tree_map(jnp.copy, self.u[0])
+                elif self.lvl_max > 1:
+                    u_save = vector.take(self.u[0],
+                                         jnp.asarray(self.levels[0].cpts))
+                else:
+                    u_save = jax.tree_util.tree_map(jnp.copy, self.u[0])
+                self._u_save_dummy = u_save
         runtime_solve_start = time.time()
-        it, hist, state, u_save_out, conv_aux = self._jit_solve_loop(
+        it, hist, state, u_save_out, conv_aux, u0_full = self._jit_solve_loop(
             self._get_state(), u_save, self.compiled_conv_aux_init())
         it = int(it)
         hist = np.asarray(hist)
         self._set_state(state)
         self._materialize_f0()
-        self._materialize_condensed0()
+        if u0_full is not None:
+            # fused materialization: stash the condensed carry for re-entry
+            self._cnd_stash = (jax.tree_util.tree_leaves(u0_full), self.u[0])
+            self.u[0] = u0_full
         self._compiled_conv_aux = conv_aux
         if self.conv_crit in (1, 3):
             self.save_values_last_iter = u_save_out
+        elif self.save_values_last_iter is None:
+            # donated dummy: the passthrough output is the live buffer now
+            self._u_save_dummy = u_save_out
         self.conv = np.zeros(self.iter_max + 1)
         self.conv[1:it + 1] = hist[:it]
         self.solve_iter = it

@@ -162,7 +162,8 @@ class Heat1D(Application):
         self._itbl_cache[key] = out
         return out
 
-    def relax_interval(self, seed, t_prev, t_curr, only_last=False):
+    def relax_interval(self, seed, t_prev, t_curr, only_last=False,
+                       interval_major=False):
         """Solver fast-path hook (core/solver.py:_f_relax_uniform): all m-1
         F-values per interval in one batched closed-form expression; with
         only_last, just row m-1 (lazy F-relaxation).  Works in both bases
@@ -186,12 +187,21 @@ class Heat1D(Application):
                 from pymgrit_tpu.ops.dd import _raw
                 A_k = _raw(jnp.asarray(A_t[0][sel]), jnp.asarray(A_t[1][sel]))
                 G_k = _raw(jnp.asarray(G_t[0][sel]), jnp.asarray(G_t[1][sel]))
-                return A_k[:, None] * seed[None] + G_k[:, None]
+                y = A_k[:, None] * seed[None] + G_k[:, None]
+                if interval_major:
+                    y = jax.tree_util.tree_map(
+                        lambda a: jnp.swapaxes(a, 0, 1), y)
+                return y
+            if interval_major:
+                return seed[:, None] * A_t[None, sel] + G_t[None, sel]
             return seed[None] * A_t[sel, None] + G_t[sel, None]
         # physical basis: transform seeds, apply tables, transform back in
         # one batched GEMM (homogeneous Dirichlet: no boundary ring terms)
         S = jnp.asarray(self._S_np).astype(seed.dtype)
         xhat = jnp.einsum('ij,bj->bi', S, seed)              # (J, nx)
+        if interval_major:
+            yhat = xhat[:, None] * A_t[None, sel] + G_t[None, sel]
+            return jnp.einsum('bsj,jk->bsk', yhat, S)
         yhat = xhat[None] * A_t[sel, None] + G_t[sel, None]
         return jnp.einsum('sbj,jk->sbk', yhat, S)
 

@@ -460,7 +460,8 @@ class Heat2D(Application):
         self._itbl_cache[key] = out
         return out
 
-    def relax_interval(self, seed, t_prev, t_curr, only_last=False):
+    def relax_interval(self, seed, t_prev, t_curr, only_last=False,
+                       interval_major=False):
         """Solver fast-path hook (core/solver.py:_f_relax_uniform): all m-1
         F-values of every interval in ONE batched closed-form expression —
         no sequential scan.  Works in BOTH bases (the physical BE/CN step
@@ -472,8 +473,11 @@ class Heat2D(Application):
         only_last=True returns just row m-1 (shape (1, J, ...)) — the lazy
         F-relaxation mode: during iterations only the last F-value of each
         interval is ever consumed, so the solver skips materializing the
-        rest (solver.py:_f_relax_uniform).  Declines (None) for non-uniform
-        dt, time-dependent rhs, FE, or DD-physical."""
+        rest (solver.py:_f_relax_uniform).  interval_major=True returns
+        (J, rows, ...) instead of (rows, J, ...) — the tube write-back
+        order — so callers skip a full-size moveaxis copy (round-4; ~2 GB
+        at the TOMS scale).  Declines (None) for non-uniform dt,
+        time-dependent rhs, FE, or DD-physical."""
         if not self._spectral and (self._dd or self.theta == 0.0):
             return None
         dts = np.asarray(t_curr, np.float64) - np.asarray(t_prev, np.float64)
@@ -496,7 +500,13 @@ class Heat2D(Application):
                 from pymgrit_tpu.ops.dd import _raw
                 A_k = _raw(jnp.asarray(A_t[0][sel]), jnp.asarray(A_t[1][sel]))
                 G_k = _raw(jnp.asarray(G_t[0][sel]), jnp.asarray(G_t[1][sel]))
-                return A_k[:, None] * seed[None] + G_k[:, None]
+                y = A_k[:, None] * seed[None] + G_k[:, None]
+                if interval_major:
+                    y = jax.tree_util.tree_map(
+                        lambda a: jnp.swapaxes(a, 0, 1), y)
+                return y
+            if interval_major:
+                return seed[:, None] * A_t[None, sel] + G_t[None, sel]
             # seed first so the traced operand drives the dtype/dispatch
             return seed[None] * A_t[sel, None] + G_t[sel, None]
 
@@ -530,6 +540,13 @@ class Heat2D(Application):
         A_km1_rows = A_km1[sel] if A_km1 is not None else None
         n_rows = A_rows.shape[0]
 
+        def ring(out):
+            out = out.at[:, :, :, 0].set(jnp.asarray(self.bc_left_arr))
+            out = out.at[:, :, :, -1].set(jnp.asarray(self.bc_right_arr))
+            out = out.at[:, :, -1, :].set(jnp.asarray(self.bc_bottom_arr))
+            out = out.at[:, :, 0, :].set(jnp.asarray(self.bc_top_arr))
+            return out
+
         def back(lo, hi):
             """F-values for selected table rows lo:hi — (hi-lo, J, nx, ny)."""
             yhat = xhat[None] * A_rows[lo:hi, None] + G_rows[lo:hi, None]
@@ -537,22 +554,29 @@ class Heat2D(Application):
                 yhat = yhat + delta_c[None] * A_km1_rows[lo:hi, None]
             y_int = self._rx(self._lx(Sx, yhat), Sy)
             out = jnp.zeros(y_int.shape[:2] + (self.nx, self.ny), y_int.dtype)
-            out = out.at[:, :, 1:-1, 1:-1].set(y_int)
-            out = out.at[:, :, :, 0].set(jnp.asarray(self.bc_left_arr))
-            out = out.at[:, :, :, -1].set(jnp.asarray(self.bc_right_arr))
-            out = out.at[:, :, -1, :].set(jnp.asarray(self.bc_bottom_arr))
-            out = out.at[:, :, 0, :].set(jnp.asarray(self.bc_top_arr))
-            return out
+            return ring(out.at[:, :, 1:-1, 1:-1].set(y_int))
+
+        def back_im(lo, hi):
+            """Same values, interval-major: seeds lo:hi — (hi-lo, rows, nx, ny)."""
+            yhat = xhat[lo:hi, None] * A_rows[None] + G_rows[None]
+            if delta_c is not None:
+                yhat = yhat + delta_c[lo:hi, None] * A_km1_rows[None]
+            y_int = self._rx(self._lx(Sx, yhat), Sy)
+            out = jnp.zeros(y_int.shape[:2] + (self.nx, self.ny), y_int.dtype)
+            return ring(out.at[:, :, 1:-1, 1:-1].set(y_int))
 
         # chunk the (rows, J, nxi, nyi) workspace to ~512 MB f32 so the TOMS
         # 257^2 scale fits HBM (the full fine tube alone is ~4.3 GB there)
-        elems = n_rows * seed.shape[0] * (self.nx - 2) * (self.ny - 2)
+        J = seed.shape[0]
+        elems = n_rows * J * (self.nx - 2) * (self.ny - 2)
         n_chunks = max(1, -(-elems // (128 * 1024 * 1024)))
+        n_outer = J if interval_major else n_rows
+        fn = back_im if interval_major else back
         if n_chunks == 1:
-            return back(0, n_rows)
-        step_sz = -(-n_rows // n_chunks)
-        parts = [back(lo, min(lo + step_sz, n_rows))
-                 for lo in range(0, n_rows, step_sz)]
+            return fn(0, n_outer)
+        step_sz = -(-n_outer // min(n_chunks, n_outer))
+        parts = [fn(lo, min(lo + step_sz, n_outer))
+                 for lo in range(0, n_outer, step_sz)]
         return jnp.concatenate(parts, axis=0)
 
     def to_physical(self, u_hat):

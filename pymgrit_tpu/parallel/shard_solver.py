@@ -497,6 +497,7 @@ class ShardedMgrit:
         x = jax.tree_util.tree_map(lambda b: b[:, 0], blocks)
 
         # step s propagates from position s to s+1 within each block
+        im = False      # ys layout: (J, m-1, ...) if True else (m-1, J, ...)
         if lvl == 0:
             ys = None
             hook = getattr(self.problem[0], "relax_interval", None)
@@ -509,7 +510,11 @@ class ShardedMgrit:
                 if d.size and np.allclose(d, d[0], rtol=1e-12, atol=0.0):
                     tp_np = np.tile(tg[0:m - 1][:, None], (1, Jloc))
                     tc_np = np.tile(tg[1:m][:, None], (1, Jloc))
-                    ys = hook(x, tp_np, tc_np)
+                    try:            # block-major write-back order
+                        ys = hook(x, tp_np, tc_np, interval_major=True)
+                        im = ys is not None
+                    except TypeError:
+                        ys = hook(x, tp_np, tc_np)
             if ys is None:
                 def body(carry, s):
                     stepped = vstep(carry, t_loc[:, s], t_loc[:, s + 1])
@@ -531,7 +536,7 @@ class ShardedMgrit:
                                  unroll=scan_unroll(m - 1))
 
         new_blocks = jax.tree_util.tree_map(
-            lambda b, y: b.at[:, 1:].set(jnp.moveaxis(y, 0, 1)),
+            lambda b, y: b.at[:, 1:].set(y if im else jnp.moveaxis(y, 0, 1)),
             blocks, ys)
         return {**u, "blocks": new_blocks}
 
