@@ -406,29 +406,47 @@ class Mgrit:
     def _cnd_materialize_expr(self, u_c):
         """Pure expression: condensed C-rows -> full (nt, ...) level-0 tube
         via one closed-form F-sweep (jit-safe; also fused into the compiled
-        solve loop's program so the whole solve is ONE device program)."""
+        solve loop's program so the whole solve is ONE device program).
+
+        Chunked over intervals with in-place dynamic-update-slices into the
+        preallocated tube: the peak transient is one ~256 MB chunk instead
+        of 3x the full tube (the concat-of-concat form OOM'd 257^2 full-nt:
+        16 GB HBM vs a 4.3 GB tube needing ~13 GB of intermediates)."""
         info = self.levels[0]
         m = info.m
         nc = info.cpts.size
         J = nc - 1
+        nt = info.nt
         tp, tc = self._cnd_block_times(m - 1)
-        seeds = jax.tree_util.tree_map(lambda a: a[:J], u_c)
-        try:                                        # (J, m-1, ...)
-            ys = self.problem[0].relax_interval(
-                seeds, tp, tc, interval_major=True)
-            im = ys is not None
-        except TypeError:
-            ys, im = None, False
-        if ys is None:                              # (m-1, J, ...)
-            ys = self.problem[0].relax_interval(seeds, tp, tc)
+        hook = self.problem[0].relax_interval
 
-        def build(a, y):
-            y2 = y if im else jnp.moveaxis(y, 0, 1)
-            blocks = jnp.concatenate([a[:J, None], y2], axis=1)
-            flat = blocks.reshape((J * m,) + a.shape[1:])
-            return jnp.concatenate([flat, a[J:J + 1]], axis=0)
+        elems_pp = sum(int(np.prod(np.shape(l))) for l in
+                       jax.tree_util.tree_leaves(
+                           self.problem[0].vector_template))
+        cj = max(1, int(64e6) // max(1, m * elems_pp))
+        out = jax.tree_util.tree_map(
+            lambda a: jnp.zeros((nt,) + a.shape[1:], a.dtype), u_c)
+        for lo in range(0, J, cj):
+            hi = min(lo + cj, J)
+            seeds = jax.tree_util.tree_map(lambda a: a[lo:hi], u_c)
+            try:                                    # (hi-lo, m-1, ...)
+                ys = hook(seeds, tp[:, lo:hi], tc[:, lo:hi],
+                          interval_major=True)
+                im = ys is not None
+            except TypeError:
+                ys, im = None, False
+            if ys is None:                          # (m-1, hi-lo, ...)
+                ys = hook(seeds, tp[:, lo:hi], tc[:, lo:hi])
 
-        return jax.tree_util.tree_map(build, u_c, ys)
+            def put(o, a, y):
+                y2 = y if im else jnp.moveaxis(y, 0, 1)
+                blocks = jnp.concatenate([a[lo:hi, None], y2], axis=1)
+                flat = blocks.reshape(((hi - lo) * m,) + a.shape[1:])
+                return jax.lax.dynamic_update_slice_in_dim(o, flat, lo * m, 0)
+
+            out = jax.tree_util.tree_map(put, out, u_c, ys)
+        return jax.tree_util.tree_map(
+            lambda o, a: o.at[nt - 1].set(a[J]), out, u_c)
 
     def _materialize_condensed0(self) -> None:
         """After convergence, build the full (nt, ...) level-0 tube from
