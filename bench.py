@@ -419,8 +419,8 @@ def run_atmgrit_equal_accuracy_row():
     from pymgrit_tpu import Mgrit, Dahlquist
     from pymgrit_tpu.core.at_mgrit import AtMgrit
 
-    nt = 2 ** 17 + 1                       # coarsest nt_c = 16385
-    t_stop = 3276.8                        # dt_c = 0.2
+    nt = 2 ** 19 + 1                       # coarsest nt_c = 65537
+    t_stop = 13107.2                       # dt_c = 0.2
     k = 128
 
     def build():
@@ -428,7 +428,7 @@ def run_atmgrit_equal_accuracy_row():
         d1 = Dahlquist(t_interval=d0.t[::8])
         return [d0, d1]
 
-    out = {"config": f"dahlquist nt={nt} 2-level m=8 (coarsest nt=16385), "
+    out = {"config": f"dahlquist nt={nt} 2-level m=8 (coarsest nt=65537), "
                      f"dt_c=0.2, k={k}",
            "k_scaling": "window truncation ~ (1/(1+dt_c))^k = "
                         f"{(1/1.2)**k:.1e} << f32 floor -> equal accuracy"}
@@ -504,19 +504,22 @@ def run_ragged_row():
     """Non-uniform-coarsening perf row (round-4, VERDICT r3 missing-#7):
     a varying_coarsening-style hierarchy (reference
     tests/core/test_mgrit.py time_setup goldens use irregular grids) at
-    nt=8193 on heat_2d 65^2 — the general ragged shard_map executor
-    (Gauss-Seidel chains, masked lanes) vs the global-view executor."""
+    nt=4097 on heat_2d 65^2 — the general ragged shard_map executor
+    (Gauss-Seidel chains, masked lanes) vs the global-view executor.
+    Level-1 C-points: stride-8 with +-3 jitter (measured bound: the same
+    program at nt=8193 dies in an XLA:TPU Internal error — backend limit
+    recorded in docs/performance.md; nt<=4097 compiles and matches)."""
     import jax
     import numpy as _np
     from jax.sharding import Mesh
     from pymgrit_tpu import Mgrit
     from pymgrit_tpu.parallel.shard_solver import ShardedMgrit
 
-    nt = 8193
+    nt = 4097
     rng = _np.random.default_rng(0)
-    idx1 = _np.unique(_np.concatenate(
-        [[0, nt - 1], rng.choice(_np.arange(1, nt - 1), size=nt // 8,
-                                 replace=False)]))
+    base = _np.arange(0, nt, 8)
+    jit = _np.clip(base + rng.integers(-3, 4, size=base.size), 0, nt - 1)
+    idx1 = _np.unique(_np.concatenate([[0, nt - 1], jit]))
 
     def build():
         probs = build_problem(nx=65, ny=65, nt=nt, ms=[])
@@ -527,8 +530,8 @@ def run_ragged_row():
                        a=1.0, rhs=probs[0].rhs, init_cond=lambda x, y: 0 * x * y,
                        t_interval=g.copy()) for g in lvls]
 
-    out = {"config": "heat_2d 65^2 nt=8193, irregular level-1 (|C|~nt/8), "
-                     "4-level"}
+    out = {"config": "heat_2d 65^2 nt=4097, irregular level-1 (stride-8 "
+                     "+-3 jitter), 4-level"}
     for nm, mk in (
             ("global_view", lambda p: Mgrit(problem=p, tol=1e-300, max_iter=3,
                                             logging_lvl=40)),
