@@ -193,12 +193,23 @@ class Mgrit:
         # (round-3 A/B).
         self._condensed0 = False
         self._cnd_times = None
-        if (condensed and self.lvl_max > 1 and mesh is None
+        if (condensed and self.lvl_max > 1
                 and not lazy_f_relax
                 and not (self.output_fcn is not None and output_lvl == 2)
                 and self.levels[0].uniform and self.levels[0].m > 1
                 and getattr(problem[0], "relax_interval", None) is not None):
             self._condensed0 = self._probe_condensed0()
+        # condensed carry size (padded to the mesh 'time' axis like the
+        # full tubes; pad rows are never read — all condensed slices are
+        # static and < nc)
+        self._nc_store0 = 0
+        if self._condensed0:
+            nc = self.levels[0].cpts.size
+            n_ta = mesh.shape["time"] if mesh is not None else 1
+            if n_ta > 1 and nc >= n_ta and nc % n_ta != 0:
+                self._nc_store0 = ((nc + n_ta - 1) // n_ta) * n_ta
+            else:
+                self._nc_store0 = nc
 
         # ---- storage sizes: pad the time axis to a multiple of the mesh
         # 'time' axis so tubes shard evenly; pad rows are never read (all
@@ -221,7 +232,7 @@ class Mgrit:
         for lvl in range(self.lvl_max):
             nt = self.nt_store[lvl]
             if lvl == 0 and self._condensed0:
-                nt = self.levels[0].cpts.size    # C-rows-only carry
+                nt = self._nc_store0             # C-rows-only carry
             template = vector.as_f64(problem[lvl].vector_template)
             if lvl == 0 and random_init_guess:
                 key, sub = jax.random.split(key)
@@ -389,8 +400,7 @@ class Mgrit:
         timed re-solve); a user-replaced tube falls back to a C-row gather."""
         if not self._condensed0:
             return
-        nc = self.levels[0].cpts.size
-        if vector.length(self.u[0]) == nc:
+        if vector.length(self.u[0]) == self._nc_store0:
             return
         stash = getattr(self, "_cnd_stash", None)
         if stash is not None and all(
@@ -399,8 +409,18 @@ class Mgrit:
             self.u[0] = stash[1]
             return
         if not hasattr(self, "_jit_sync_cnd"):
-            self._jit_sync_cnd = self._pjit(
-                lambda u: vector.take(u, jnp.asarray(self.levels[0].cpts)))
+            nc = self.levels[0].cpts.size
+            pad = self._nc_store0 - nc
+
+            def sync(u):
+                c = vector.take(u, jnp.asarray(self.levels[0].cpts))
+                if pad:
+                    c = jax.tree_util.tree_map(
+                        lambda x: jnp.concatenate(
+                            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]), c)
+                return c
+
+            self._jit_sync_cnd = self._pjit(sync)
         self.u[0] = self._jit_sync_cnd(self.u[0])
 
     def _cnd_materialize_expr(self, u_c):
@@ -453,8 +473,7 @@ class Mgrit:
         the condensed C-rows with one closed-form F-sweep."""
         if not self._condensed0:
             return
-        nc = self.levels[0].cpts.size
-        if vector.length(self.u[0]) != nc:
+        if vector.length(self.u[0]) != self._nc_store0:
             return
         if not hasattr(self, "_jit_mat_cnd"):
             self._jit_mat_cnd = self._pjit(self._cnd_materialize_expr)
@@ -780,9 +799,12 @@ class Mgrit:
         vrestrict = jax.vmap(self.restrict_fns[lvl])
 
         if lvl == 0 and self._condensed0:
-            # condensed carry: u_f IS the C-point tube; Phi(u[cm-1]) is the
-            # closed-form step to the next C-point
-            u_c = self._pad_tube(vrestrict(u_f), lvl + 1)
+            # condensed carry: u_f IS the C-point tube (padded to the mesh
+            # 'time' axis; restrict only the real nc rows); Phi(u[cm-1]) is
+            # the closed-form step to the next C-point
+            u_c = self._pad_tube(
+                vrestrict(jax.tree_util.tree_map(lambda a: a[:nc], u_f)),
+                lvl + 1)
             v_c = jax.tree_util.tree_map(lambda x: x, u_c)
             stepped_f = self._cnd_c_step(u_f)
             u_ci = jax.tree_util.tree_map(lambda a: a[1:nc], u_f)

@@ -88,7 +88,7 @@ if __name__ == "__main__":
         # allen_cahn nt nx max_iter ms t_stop
         model = "allen_cahn"
         nt = int(argv[1]) if len(argv) > 1 else 4097
-        nx = int(argv[2]) if len(argv) > 2 else 128
+        nx = ny = int(argv[2]) if len(argv) > 2 else 128
         max_iter = int(argv[3]) if len(argv) > 3 else 1
         ms = [int(x) for x in argv[4].split(",")] if len(argv) > 4 else [8, 8]
         t_stop = float(argv[5]) if len(argv) > 5 else 0.032
