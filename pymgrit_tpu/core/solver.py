@@ -369,6 +369,12 @@ class Mgrit:
         m, t = info.m, info.t
         if len(t) < m + 1:
             return False
+        # global dt uniformity (the probe's single interval can be locally
+        # uniform on a grid whose later intervals are not — the hook would
+        # then decline at trace time, after condensed allocation)
+        dts = np.diff(np.asarray(t, dtype=np.float64))
+        if not np.allclose(dts, dts[0], rtol=1e-12, atol=0.0):
+            return False
         tp = t[0:m][:, None]
         tc = t[1:m + 1][:, None]
         seed = vector.tube_of(vector.as_f64(self.problem[0].vector_template), 1)

@@ -1,0 +1,155 @@
+"""Condensed level-0 carry (round-4): mathematical identity with the
+full-tube solver.
+
+The condensed mode (core/solver.py, `Mgrit(condensed=True)`, default when
+the fine application provides `relax_interval`) stores only the level-0
+C-points and evaluates every F-row consumer through the closed-form hook.
+An F-relaxation always precedes every F-row read in the reference's sweep
+order (reference mgrit.py:261-290), so the histories and the materialized
+solution must equal the full algorithm's to roundoff.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pymgrit_tpu import Mgrit, Heat2D, Heat1D
+
+
+def _rhs(x, y, t):
+    return jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y) * jnp.ones_like(t * x * y)
+
+
+def _ic(x, y):
+    return np.sin(np.pi * x) * np.sin(np.pi * y)
+
+
+def _build(nx=17, nt=129, ms=(4, 4), basis='physical', method='BE'):
+    t = np.linspace(0, 1, nt)
+    out, s = [], 1
+    for lvl in range(len(ms) + 1):
+        out.append(Heat2D(x_start=0, x_end=1, y_start=0, y_end=1, nx=nx,
+                          ny=nx, a=1.0, rhs=_rhs, init_cond=_ic,
+                          t_interval=t[::s], basis=basis, method=method))
+        if lvl < len(ms):
+            s *= ms[lvl]
+    return out
+
+
+def _pair(kw_build=None, **kw):
+    kwb = kw_build or {}
+    full = Mgrit(problem=_build(**kwb), tol=1e-300, max_iter=4,
+                 logging_lvl=40, condensed=False, **kw)
+    rf = full.solve_compiled()['conv']
+    cnd = Mgrit(problem=_build(**kwb), tol=1e-300, max_iter=4,
+                logging_lvl=40, **kw)
+    assert cnd._condensed0
+    rc = cnd.solve_compiled()['conv']
+    return full, rf, cnd, rc
+
+
+@pytest.mark.core
+@pytest.mark.parametrize("basis", ["physical", "spectral"])
+@pytest.mark.parametrize("method", ["BE", "CN"])
+def test_condensed_matches_full_tube(basis, method):
+    full, rf, cnd, rc = _pair(dict(basis=basis, method=method))
+    # rtol at the residual floor: histories agree to f64 roundoff in
+    # ABSOLUTE terms; the CN tail sits at ~2e-9 where 1e-16 abs noise is
+    # ~5e-8 relative
+    np.testing.assert_allclose(rc, rf, rtol=1e-6, atol=1e-14)
+    du = np.max(np.abs(np.asarray(full.u[0]) - np.asarray(cnd.u[0])))
+    assert du < 1e-9, du
+
+
+@pytest.mark.core
+@pytest.mark.parametrize("kw", [dict(conv_crit=1), dict(conv_crit=2),
+                                dict(conv_crit=3), dict(weight_c=1.3),
+                                dict(cycle_type='F'), dict(cf_iter=2),
+                                dict(nested_iteration=False)])
+def test_condensed_solver_options(kw):
+    full, rf, cnd, rc = _pair(**kw)
+    np.testing.assert_allclose(rc, rf, rtol=1e-9)
+    du = np.max(np.abs(np.asarray(full.u[0]) - np.asarray(cnd.u[0])))
+    assert du < 1e-9, (kw, du)
+
+
+@pytest.mark.core
+def test_condensed_reentry_and_solve():
+    """solve_compiled re-entry (stash restore) and the eager solve() path."""
+    full, rf, cnd, rc = _pair()
+    rf2 = full.solve_compiled()['conv']
+    rc2 = cnd.solve_compiled()['conv']
+    np.testing.assert_allclose(rc2, rf2, rtol=1e-6)
+    m = Mgrit(problem=_build(), tol=1e-300, max_iter=4, logging_lvl=40)
+    np.testing.assert_allclose(m.solve()['conv'], rf, rtol=1e-9)
+
+
+@pytest.mark.core
+def test_condensed_gspmd_mesh():
+    """The condensed carry time-shards over a ('time','space') mesh (padded
+    to the mesh; dryrun path 8) with serial-equal histories and tube."""
+    from pymgrit_tpu.parallel.sharding import make_time_space_mesh
+    mesh = make_time_space_mesh(n_time=4, n_space=2)
+    full = Mgrit(problem=_build(), tol=1e-300, max_iter=4, logging_lvl=40,
+                 condensed=False)
+    rf = full.solve_compiled()['conv']
+    m = Mgrit(problem=_build(), mesh=mesh, tol=1e-300, max_iter=4,
+              logging_lvl=40)
+    assert m._condensed0 and m._nc_store0 == 36   # nc=33 padded to 36
+    rc = m.solve_compiled()['conv']
+    np.testing.assert_allclose(rc, rf, rtol=1e-9)
+    du = np.max(np.abs(np.asarray(full.u[0]) - np.asarray(m.u[0])))
+    assert du < 1e-9, du
+
+
+@pytest.mark.core
+def test_condensed_heat1d_and_decline():
+    """Heat1D engages condensed; a non-uniform grid declines it."""
+    def b1(nt, ms):
+        t = np.linspace(0, 3, nt)
+        out, s = [], 1
+        for lvl in range(len(ms) + 1):
+            out.append(Heat1D(x_start=0, x_end=2, nx=17, a=1.0,
+                              init_cond=lambda x: np.sin(np.pi * x / 2),
+                              t_interval=t[::s]))
+            if lvl < len(ms):
+                s *= ms[lvl]
+        return out
+
+    full = Mgrit(problem=b1(129, [4, 4]), tol=1e-300, max_iter=4,
+                 logging_lvl=40, condensed=False)
+    rf = full.solve_compiled()['conv']
+    cnd = Mgrit(problem=b1(129, [4, 4]), tol=1e-300, max_iter=4,
+                logging_lvl=40)
+    assert cnd._condensed0
+    np.testing.assert_allclose(cnd.solve_compiled()['conv'], rf, rtol=1e-9)
+
+    # non-uniform level-0 grid: hook declines -> full-tube path
+    t = np.concatenate([np.linspace(0, 1, 65), 1 + 0.7 * np.arange(1, 17)])
+    d0 = Heat1D(x_start=0, x_end=2, nx=17, a=1.0, t_interval=t)
+    d1 = Heat1D(x_start=0, x_end=2, nx=17, a=1.0, t_interval=t[::4])
+    m = Mgrit(problem=[d0, d1], tol=1e-300, max_iter=2, logging_lvl=40)
+    assert not m._condensed0
+    m.solve_compiled()
+
+
+@pytest.mark.core
+def test_condensed_runtime_params_bound():
+    """The jitted drivers receive the application tables as runtime
+    operands: the lowered iteration contains no large dense constants."""
+    import re
+    m = Mgrit(problem=_build(nx=33, nt=257, ms=(8, 4)), tol=1e-300,
+              max_iter=2, logging_lvl=40, condensed=False)
+    assert m._has_rt
+
+    from pymgrit_tpu.core.solver import bind_runtime_params
+
+    def fn(params, state):
+        with bind_runtime_params(m.problem, params):
+            return m._iteration_fn(state, lvl0_first_f=True)
+
+    txt = jax.jit(fn).lower(m._rt_params, m._get_state()).as_text()
+    dense = sum(len(x) for x in re.findall(r"dense<[^>]*>", txt))
+    # the closed-form tables alone would be >1 MB of literals if baked
+    assert dense < 400_000, dense
