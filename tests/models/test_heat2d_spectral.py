@@ -228,8 +228,12 @@ def test_lazy_f_relax_opt_in_matches():
 
     res = {}
     for lazy in (False, True):
+        # condensed=False for the exact-identity comparison: the lazy mode
+        # shares the full-tube path's arithmetic verbatim, while the
+        # (default) condensed carry composes Phi^m from f64 tables — the
+        # same values only to roundoff (tests/core/test_condensed.py)
         m = Mgrit(problem=[mk(65), mk(17), mk(5)], tol=1e-9, max_iter=8,
-                  logging_lvl=30, lazy_f_relax=lazy)
+                  logging_lvl=30, lazy_f_relax=lazy, condensed=False)
         conv = m.solve_compiled()['conv']
         res[lazy] = (conv, np.asarray(m.u[0]))
     assert len(res[True][0]) == len(res[False][0])
