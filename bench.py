@@ -721,11 +721,10 @@ def main():
             ref_full["steps_per_sec"], 2) if ref_full else None,
     }
 
-    # XL row: 257^2 at the same nt — the roofline/MFU evidence at scale
-    # (physical basis runs by default; spectral XL via PYMGRIT_TPU_BENCH_XL).
-    xl_names = [("toms257", 'physical')]
-    if os.environ.get("PYMGRIT_TPU_BENCH_XL"):
-        xl_names.append(("toms257_spectral", 'spectral'))
+    # XL rows: 257^2 at the FULL nt=16385 — the at-scale evidence the
+    # round-3 compile failure blocked (both bases run by default since
+    # round-4; spectral measured 958.7k steps/s, physical 374.5k).
+    xl_names = [("toms257", 'physical'), ("toms257_spectral", 'spectral')]
     for nm, basis in xl_names:
         try:
             xl = run_ours(nm, nx=257, ny=257, nt=2 ** 14 + 1,
@@ -740,7 +739,8 @@ def main():
                 result[nm + "_nt4097_error"] = repr(e2)[:200]
                 continue
         if nm.startswith("toms257") and "nt4097" not in nm:
-            nm = nm.replace("toms257", "toms257_fullnt")
+            nm = (nm.replace("toms257_spectral", "toms257_spectral_fullnt")
+                  if "spectral" in nm else nm.replace("toms257", "toms257_fullnt"))
         result[nm + "_steps_per_sec"] = round(xl["steps_per_sec"], 2)
         result[nm + "_conv"] = [float(f"{c:.4e}") for c in xl["conv"]]
         result[nm + "_solve_time_s"] = round(xl["solve_time_s"], 3)
