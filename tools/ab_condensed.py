@@ -9,10 +9,14 @@ at the TOMS example-3 scale (129^2, nt=16385, 5-level 32/16/4/4).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+os.environ.setdefault("PYMGRIT_TPU_NO_X64", "1")   # f64 emulation on TPU is
+# 10x slower and OOMs — same guard as bench.main (learned the hard way)
 
 
 def main(nx=129, nt=2 ** 14 + 1, ms=(32, 16, 4, 4), iters=5):
