@@ -295,8 +295,11 @@ class Mgrit:
 
         self.save_values_last_iter = None
         if conv_crit in (1, 3):
+            # condensed: the saved iterate mirrors the (padded) carry so the
+            # compiled loop's u_save carry keeps one fixed shape; the jump
+            # norm only reads rows 1..nc-1 either way
             self.save_values_last_iter = vector.take(
-                self.u[0], np.arange(self.levels[0].cpts.size)
+                self.u[0], np.arange(self._nc_store0)
                 if self._condensed0 else self.levels[0].cpts)
 
         self._all_below = False

@@ -104,6 +104,23 @@ def test_condensed_gspmd_mesh():
 
 
 @pytest.mark.core
+@pytest.mark.parametrize("crit", [1, 3])
+def test_condensed_gspmd_mesh_jump_criteria(crit):
+    """Jump criteria with a PADDED condensed carry: the saved iterate must
+    mirror the padded shape for a fixed while-loop carry type (regression:
+    round-4 shape mismatch)."""
+    from pymgrit_tpu.parallel.sharding import make_time_space_mesh
+    mesh = make_time_space_mesh(n_time=4, n_space=2)
+    base = Mgrit(problem=_build(), tol=1e-300, max_iter=4, logging_lvl=40,
+                 condensed=False, conv_crit=crit).solve_compiled()['conv']
+    m = Mgrit(problem=_build(), mesh=mesh, tol=1e-300, max_iter=4,
+              logging_lvl=40, conv_crit=crit)
+    rc = m.solve_compiled()['conv']
+    m.solve_compiled()                     # re-entry with the carried save
+    np.testing.assert_allclose(rc, base, rtol=1e-9)
+
+
+@pytest.mark.core
 def test_condensed_heat1d_and_decline():
     """Heat1D engages condensed; a non-uniform grid declines it."""
     def b1(nt, ms):
