@@ -90,7 +90,18 @@ def build_problem(nx, ny, nt, ms, precision=None, spatial=None, basis='physical'
 
 def count_fine_steps_per_iter(mgrit, first):
     """Fine-level Phi evaluations per MGRIT iteration (same accounting as the
-    instrumented reference run in tools/bench_reference.py)."""
+    instrumented reference run in tools/bench_reference.py).
+
+    METRIC SEMANTICS: this counts the fine steps the ALGORITHM performs —
+    the work a user gets done per second — independent of how an executor
+    realizes them.  Closed-form paths (the relax_interval hook since
+    round 2, the condensed carry since round 4) produce the same
+    mathematical updates without evaluating each Phi individually; their
+    rows therefore divide the same step count by a smaller wall-clock.
+    Executor-vs-executor columns (e.g. toms129_fulltube_* vs the
+    condensed headline) compare delivery speed of identical results, not
+    identical instruction streams; the hardware-level counterpart is the
+    executed_matmul_flops MFU accounting, which counts only what ran."""
     info = mgrit.levels[0]
     nf = info.fpts.size
     nc1 = info.cpts.size - 1

@@ -27,6 +27,7 @@ values (BASELINE.md).
 
 from __future__ import annotations
 
+import inspect
 import logging
 import sys
 import time
@@ -70,6 +71,21 @@ def scan_unroll(n: int) -> int:
     the knob + measurement are kept so nobody re-learns this the hard way.
     """
     return 1
+
+
+def hook_accepts_kwarg(hook, name: str) -> bool:
+    """True iff `hook` declares `name` as an EXPLICIT keyword parameter.
+
+    Capability detection by signature, not by catching TypeError: a hook
+    with **kwargs would swallow an unknown kwarg and return the default
+    layout — reshaped as if it were the requested one (silently transposed
+    F-rows) — and a genuine TypeError raised inside a conforming hook
+    would be masked."""
+    try:
+        sig = inspect.signature(hook)
+    except (TypeError, ValueError):
+        return False
+    return name in sig.parameters
 
 
 def collect_runtime_params(problem, levels):
@@ -193,8 +209,14 @@ class Mgrit:
         # (round-3 A/B).
         self._condensed0 = False
         self._cnd_times = None
+        # subclassed convergence criteria receive the raw level-0 state and
+        # expect the full tube (documented pattern, reference
+        # examples/example_convergence_criterion.py) — keep it for them
+        custom_criteria = (
+            type(self).convergence_criterion is not Mgrit.convergence_criterion
+            or type(self).compiled_convergence_criterion is not None)
         if (condensed and self.lvl_max > 1
-                and not lazy_f_relax
+                and not lazy_f_relax and not custom_criteria
                 and not (self.output_fcn is not None and output_lvl == 2)
                 and self.levels[0].uniform and self.levels[0].m > 1
                 and getattr(problem[0], "relax_interval", None) is not None):
@@ -382,10 +404,9 @@ class Mgrit:
         tc = t[1:m + 1][:, None]
         seed = vector.tube_of(vector.as_f64(self.problem[0].vector_template), 1)
         hook = self.problem[0].relax_interval
-        try:
-            ys = hook(seed, tp, tc, only_last=True)
-        except TypeError:       # hook without only_last support
+        if not hook_accepts_kwarg(hook, "only_last"):
             return False
+        ys = hook(seed, tp, tc, only_last=True)
         return ys is not None
 
     def _cnd_c_step(self, u_c):
@@ -416,6 +437,10 @@ class Mgrit:
                 a is b for a, b in zip(jax.tree_util.tree_leaves(self.u[0]),
                                        stash[0])):
             self.u[0] = stash[1]
+            # drop the stashed full tube: keeping it alive through the next
+            # solve would hold a dead ~4.3 GB buffer at 257^2 full-nt while
+            # a second one materializes
+            self._cnd_stash = None
             return
         if not hasattr(self, "_jit_sync_cnd"):
             nc = self.levels[0].cpts.size
@@ -455,14 +480,15 @@ class Mgrit:
         cj = max(1, int(64e6) // max(1, m * elems_pp))
         out = jax.tree_util.tree_map(
             lambda a: jnp.zeros((nt,) + a.shape[1:], a.dtype), u_c)
+        hook_im = hook_accepts_kwarg(hook, "interval_major")
         for lo in range(0, J, cj):
             hi = min(lo + cj, J)
             seeds = jax.tree_util.tree_map(lambda a: a[lo:hi], u_c)
-            try:                                    # (hi-lo, m-1, ...)
+            if hook_im:                             # (hi-lo, m-1, ...)
                 ys = hook(seeds, tp[:, lo:hi], tc[:, lo:hi],
                           interval_major=True)
                 im = ys is not None
-            except TypeError:
+            else:
                 ys, im = None, False
             if ys is None:                          # (m-1, hi-lo, ...)
                 ys = hook(seeds, tp[:, lo:hi], tc[:, lo:hi])
@@ -575,20 +601,18 @@ class Mgrit:
             # (m-1, J, ...) pytree, or None to decline.
             hook = getattr(self.problem[lvl], "relax_interval", None)
             if hook is not None and lazy and m > 1 and self.mesh is None:
-                try:
-                    ys_last = hook(x, tp_np, tc_np, only_last=True)
-                except TypeError:          # hook without only_last support
-                    ys_last = None
+                ys_last = (hook(x, tp_np, tc_np, only_last=True)
+                           if hook_accepts_kwarg(hook, "only_last") else None)
                 if ys_last is not None:
                     vals = jax.tree_util.tree_map(lambda y: y[0], ys_last)
                     return jax.tree_util.tree_map(
                         lambda a, v: a.at[m - 1:nt:m].set(v), u, vals)
             ys = None
             if hook is not None:
-                try:                        # (J, m-1, ...) write-back order
+                if hook_accepts_kwarg(hook, "interval_major"):
                     ys = hook(x, tp_np, tc_np, interval_major=True)
-                    im = ys is not None
-                except TypeError:           # hook without interval_major
+                    im = ys is not None     # (J, m-1, ...) write-back order
+                else:
                     ys = hook(x, tp_np, tc_np)
             if ys is None:
                 t_prev = self._as_t(tp_np)

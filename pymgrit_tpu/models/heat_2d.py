@@ -185,7 +185,11 @@ class Heat2D(Application):
     def prepare_runtime(self, level_info) -> None:
         """Pre-build the closed-form interval tables for this level's
         uniform block structure (both m-1 rows — F-relaxation — and m rows
-        — the condensed C-step) so runtime_params can export them."""
+        — the condensed C-step) so runtime_params can export them.  Only
+        level 0 consumes the hook (solver _f_relax_uniform / condensed
+        paths), so coarse levels skip the build."""
+        if getattr(level_info, "lvl", 0) != 0:
+            return
         if self._dd and not self._spectral:
             return                      # hook declines DD-physical anyway
         if not self._spectral and self.theta == 0.0:

@@ -52,7 +52,8 @@ from jax import shard_map
 from pymgrit_tpu.core import vector
 from pymgrit_tpu.core.levels import build_level_infos, validate_hierarchy
 from pymgrit_tpu.core.solver import (bind_runtime_params,
-                                     collect_runtime_params, scan_unroll)
+                                     collect_runtime_params,
+                                     hook_accepts_kwarg, scan_unroll)
 
 
 def _pad_times(t: np.ndarray, n_points: int) -> np.ndarray:
@@ -510,10 +511,11 @@ class ShardedMgrit:
                 if d.size and np.allclose(d, d[0], rtol=1e-12, atol=0.0):
                     tp_np = np.tile(tg[0:m - 1][:, None], (1, Jloc))
                     tc_np = np.tile(tg[1:m][:, None], (1, Jloc))
-                    try:            # block-major write-back order
+                    if hook_accepts_kwarg(hook, "interval_major"):
+                        # block-major write-back order
                         ys = hook(x, tp_np, tc_np, interval_major=True)
                         im = ys is not None
-                    except TypeError:
+                    else:
                         ys = hook(x, tp_np, tc_np)
             if ys is None:
                 def body(carry, s):

@@ -170,3 +170,56 @@ def test_condensed_runtime_params_bound():
     dense = sum(len(x) for x in re.findall(r"dense<[^>]*>", txt))
     # the closed-form tables alone would be >1 MB of literals if baked
     assert dense < 400_000, dense
+
+
+@pytest.mark.core
+def test_condensed_disabled_for_custom_criteria():
+    """Subclassed convergence criteria receive the raw level-0 state and
+    expect the full tube — condensed must auto-disable for them
+    (round-4 review finding)."""
+    class CustomCompiled(Mgrit):
+        def compiled_convergence_criterion(self, state, aux):
+            import jax.numpy as jnp
+            norms = self._point_residual_norms(state[0][0])
+            conv = jnp.linalg.norm(norms)
+            return conv, conv < self.tol, aux
+
+    class CustomEager(Mgrit):
+        def convergence_criterion(self, iteration):
+            super().convergence_criterion(iteration)
+
+    for cls in (CustomCompiled, CustomEager):
+        m = cls(problem=_build(), tol=1e-300, max_iter=2, logging_lvl=40)
+        assert not m._condensed0, cls.__name__
+        m.solve_compiled()
+    # the plain class still condenses
+    assert Mgrit(problem=_build(), tol=1e-300, max_iter=1,
+                 logging_lvl=40)._condensed0
+
+
+@pytest.mark.core
+def test_hook_kwargs_capability_by_signature():
+    """A hook accepting **kwargs (but not interval_major explicitly) must
+    NOT be treated as interval-major capable (silent transpose hazard)."""
+    from pymgrit_tpu.core.solver import hook_accepts_kwarg
+
+    class Loose(Heat2D):
+        def relax_interval(self, seed, t_prev, t_curr, only_last=False, **kw):
+            return super().relax_interval(seed, t_prev, t_curr,
+                                          only_last=only_last)
+
+    assert not hook_accepts_kwarg(Loose.relax_interval, "interval_major")
+    assert hook_accepts_kwarg(Heat2D.relax_interval, "interval_major")
+
+    t = np.linspace(0, 1, 65)
+    probs = [Loose(x_start=0, x_end=1, y_start=0, y_end=1, nx=9, ny=9, a=1.0,
+                   rhs=_rhs, init_cond=_ic, t_interval=t[::s])
+             for s in (1, 4, 16)]
+    base = Mgrit(problem=_build(nx=9, nt=65, ms=(4, 4)), tol=1e-300,
+                 max_iter=3, logging_lvl=40, condensed=False)
+    rf = base.solve_compiled()['conv']
+    m = Mgrit(problem=probs, tol=1e-300, max_iter=3, logging_lvl=40)
+    rc = m.solve_compiled()['conv']
+    np.testing.assert_allclose(rc, rf, rtol=1e-9)
+    du = np.max(np.abs(np.asarray(base.u[0]) - np.asarray(m.u[0])))
+    assert du < 1e-9, du

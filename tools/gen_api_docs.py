@@ -87,10 +87,9 @@ def render_module(modname: str) -> str:
             d = _doc(obj)
             if d:
                 lines += [d, ""]
+            # the class heading already shows the constructor signature
             for mname, meth in inspect.getmembers(obj):
-                if mname.startswith("_") and mname != "__init__":
-                    continue
-                if mname == "__init__":
+                if mname.startswith("_"):
                     continue
                 if not (inspect.isfunction(meth) or inspect.ismethod(meth)):
                     continue
