@@ -82,11 +82,14 @@ def getdp_read_resolution(file: str, num_dofs: int) -> Tuple[np.ndarray, np.ndar
             if len(ts) == step_no:
                 ts.append(t_val)
                 xs.append(arr[:, 0])
-            elif step_no < len(ts):
-                raise Exception('time step stored out of order in ' + file)
-            else:
+            elif step_no == len(ts) - 1:
+                # the same step re-stored overwrites in place (reference
+                # helper.py:109-119: oldstep == 1+step -> t[j-1]/x[j-1]
+                # are overwritten; GetDP re-emits a step on restart)
                 ts[step_no] = t_val
                 xs[step_no] = arr[:, 0]
+            else:
+                raise Exception('time step stored out of order in ' + file)
             idx += 2 + num_dofs
         elif '$ResFormat' in line:
             if not content[idx + 1].startswith('1.1'):

@@ -64,7 +64,7 @@ _REF_MODULES = {
     "test_cross_validation", "test_cross_validation_2", "test_partition",
     "test_grid_transfer_2d", "test_step_parity", "test_arenstorf_parity",
 }
-_REF_TESTS = {"test_parsers_match_reference"}   # in test_induction_machine
+_REF_TESTS = {"test_parsers_match_reference", "test_res_parser_matches_reference"}
 _SLOW_MODULES = {
     "test_dd_goldens", "test_dd_x64_off", "test_induction_machine_e2e",
     "test_heat_dd", "test_examples_smoke", "test_multiproc",

@@ -244,3 +244,17 @@ def test_mgrit_machine_pwm_switch():
     # flags seen while tracing the nested iteration were 0 (sin source)
     assert 0 in seen
     assert apps[0].fopt[-1] == 1  # restored
+
+
+def test_res_parser_matches_reference():
+    """The committed machine.res (incl. a re-stored step) parses identically
+    through the reference helper — pins the overwrite-in-place semantics
+    (reference helper.py:109-119) the round-5 fixture caught."""
+    sys.path.insert(0, "/root/reference/src")
+    from pymgrit.induction_machine import helper as ref_helper
+
+    fix = os.path.join(REPO, "tests", "models", "fixtures", "im", "machine.res")
+    rt, rx = ref_helper.getdp_read_resolution(fix, 32)
+    ot, ox = io_getdp.getdp_read_resolution(fix, 32)
+    np.testing.assert_allclose(ot, rt)
+    np.testing.assert_allclose(ox, rx)
