@@ -49,7 +49,8 @@ jax.config.update("jax_platforms", "cpu")
 #   is absent, so the suite is green on a standalone checkout.
 # * marker `slow` — heavy parity matrices kept out of the quick tier.
 # * marker `core` — applied to everything that is neither ref nor slow:
-#   `pytest -m core` is the <5-minute per-commit tier (CI workflow runs it
+#   `pytest -m "core and not slow"` is the <5-minute per-commit tier
+#   (CI workflow runs it
 #   per push; the full suite runs nightly).
 # ---------------------------------------------------------------------------
 
@@ -90,7 +91,11 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.ref)
             if not _REF_PRESENT:
                 item.add_marker(skip_ref)
-        if mod in _SLOW_MODULES:
+        # explicit in-file @pytest.mark.slow opts single tests/params out of
+        # the core tier (round-5: keeps the per-commit tier under its 5-min
+        # budget while the full suite runs every parametrization)
+        has_slow = item.get_closest_marker("slow") is not None
+        if mod in _SLOW_MODULES and not has_slow:
             item.add_marker(pytest.mark.slow)
-        if not is_ref and mod not in _SLOW_MODULES:
+        if not is_ref and mod not in _SLOW_MODULES and not has_slow:
             item.add_marker(pytest.mark.core)

@@ -50,8 +50,12 @@ def _pair(kw_build=None, **kw):
 
 
 @pytest.mark.core
-@pytest.mark.parametrize("basis", ["physical", "spectral"])
-@pytest.mark.parametrize("method", ["BE", "CN"])
+@pytest.mark.parametrize("basis,method", [
+    ("physical", "BE"),
+    pytest.param("physical", "CN", marks=pytest.mark.slow),
+    pytest.param("spectral", "BE", marks=pytest.mark.slow),
+    ("spectral", "CN"),
+])
 def test_condensed_matches_full_tube(basis, method):
     full, rf, cnd, rc = _pair(dict(basis=basis, method=method))
     # rtol at the residual floor: histories agree to f64 roundoff in
@@ -63,10 +67,15 @@ def test_condensed_matches_full_tube(basis, method):
 
 
 @pytest.mark.core
-@pytest.mark.parametrize("kw", [dict(conv_crit=1), dict(conv_crit=2),
-                                dict(conv_crit=3), dict(weight_c=1.3),
-                                dict(cycle_type='F'), dict(cf_iter=2),
-                                dict(nested_iteration=False)])
+@pytest.mark.parametrize("kw", [
+    dict(conv_crit=1),
+    pytest.param(dict(conv_crit=2), marks=pytest.mark.slow),
+    pytest.param(dict(conv_crit=3), marks=pytest.mark.slow),
+    dict(weight_c=1.3),
+    dict(cycle_type='F'),
+    pytest.param(dict(cf_iter=2), marks=pytest.mark.slow),
+    pytest.param(dict(nested_iteration=False), marks=pytest.mark.slow),
+])
 def test_condensed_solver_options(kw):
     full, rf, cnd, rc = _pair(**kw)
     np.testing.assert_allclose(rc, rf, rtol=1e-9)
@@ -104,7 +113,7 @@ def test_condensed_gspmd_mesh():
 
 
 @pytest.mark.core
-@pytest.mark.parametrize("crit", [1, 3])
+@pytest.mark.parametrize("crit", [1, pytest.param(3, marks=pytest.mark.slow)])
 def test_condensed_gspmd_mesh_jump_criteria(crit):
     """Jump criteria with a PADDED condensed carry: the saved iterate must
     mirror the padded shape for a fixed while-loop carry type (regression:
@@ -173,6 +182,8 @@ def test_condensed_runtime_params_bound():
 
 
 @pytest.mark.core
+@pytest.mark.slow   # 12 s history-equality solve; construction-time decline
+                    # behavior stays core via test_condensed_decline_warns
 def test_condensed_disabled_for_custom_criteria():
     """Subclassed convergence criteria receive the raw level-0 state and
     expect the full tube — condensed must auto-disable for them

@@ -3,6 +3,7 @@ varying/non-uniform coarsening, AT-MGRIT, large-m hierarchies."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from pymgrit_tpu import (Mgrit, AtMgrit, Dahlquist, Heat1D, Heat2D,
                          GridTransferCopy, simple_setup_problem)
@@ -44,6 +45,7 @@ def test_heat2d_polynomial_exact():
     assert err < 1e-10
 
 
+@pytest.mark.slow   # 26 s golden; weight_c stays core via test_condensed kw3
 def test_weighted_jacobi():
     """weight_c=1.3 saves one iteration: 8 iters (w=1.0) vs 7 (w=1.3)
     (reference examples/example_weighted_jacobi.py:55-60; golden

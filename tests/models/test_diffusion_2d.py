@@ -85,6 +85,7 @@ def test_mgrit_matches_sequential():
     np.testing.assert_allclose(got, np.asarray(u), atol=1e-8)
 
 
+@pytest.mark.slow   # 27 s; DD x f64 cross-check, nightly
 def test_diffusion_dd_matches_f64():
     """precision='dd' on the DG diffusion model (Ozaki eigenbasis step):
     histories match fp64 down to tol=1e-11."""

@@ -72,6 +72,7 @@ def test_burgers2d_step_residual():
     assert float(jnp.abs(res).max()) < 1e-8
 
 
+@pytest.mark.slow   # 16 s; burgers1d keeps the family in core
 def test_burgers2d_mgrit():
     b0 = Burgers2D(nx=16, nu=0.05, t_start=0, t_stop=0.5, nt=17)
     b1 = Burgers2D(nx=16, nu=0.05, t_interval=b0.t[::4])

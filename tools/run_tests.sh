@@ -18,7 +18,7 @@ case "${1:-}" in
     python -m pytest tests/ -q
     ;;
   *)
-    python -m pytest tests/ -m core -q
+    python -m pytest tests/ -m "core and not slow" -q
     ;;
 esac
 

@@ -22,8 +22,11 @@ def main():
     ap.add_argument("--nt", type=int, default=1025)
     ap.add_argument("--nx", type=int, default=33)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--executor", choices=["gspmd", "shard_map"],
+    ap.add_argument("--executor", choices=["gspmd", "shard_map",
+                                           "at_shard_map"],
                     default="shard_map")
+    ap.add_argument("--k", type=int, default=16,
+                    help="distance-k window for --executor at_shard_map")
     ap.add_argument("--out", default=None,
                     help="write the results JSON to this path")
     args = ap.parse_args()
@@ -38,7 +41,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from pymgrit_tpu import Heat2D, Mgrit
-    from pymgrit_tpu.parallel.shard_solver import ShardedMgrit
+    from pymgrit_tpu.parallel.shard_solver import ShardedAtMgrit, ShardedMgrit
     from pymgrit_tpu.parallel.sharding import make_time_space_mesh
 
     def build(nt):
@@ -60,6 +63,10 @@ def main():
             mesh = make_time_space_mesh(n_time=n, n_space=1)
             m = ShardedMgrit(problem=build(nt), mesh=mesh, tol=1e-300,
                              max_iter=args.iters, logging_lvl=30)
+        elif args.executor == "at_shard_map":
+            mesh = make_time_space_mesh(n_time=n, n_space=1)
+            m = ShardedAtMgrit(args.k, problem=build(nt), mesh=mesh,
+                               tol=1e-300, max_iter=args.iters, logging_lvl=30)
         else:
             mesh = make_time_space_mesh(n_time=n, n_space=1) if n > 1 else None
             m = Mgrit(problem=build(nt), tol=1e-300, max_iter=args.iters,
