@@ -315,7 +315,8 @@ def min_hbm_bytes_per_solve(mgrit, iters):
 
 
 def run_ours(name, max_iter, tol=1e-300, precision=None, transfer=None,
-             spatial=None, basis='physical', condensed=True, **cfg):
+             spatial=None, basis='physical', condensed=True,
+             n_timed=None, **cfg):
     import jax
     import numpy as _np
     from pymgrit_tpu import Mgrit
@@ -338,7 +339,8 @@ def run_ours(name, max_iter, tol=1e-300, precision=None, transfer=None,
     info_first = mgrit.solve_compiled()
     first_conv = [float(c) for c in info_first["conv"]]
 
-    solve_time, t_min, t_max, times = timed_median(mgrit, lambda: mgrit.u[0])
+    solve_time, t_min, t_max, times = timed_median(
+        mgrit, lambda: mgrit.u[0], n=n_timed or N_TIMED)
 
     iters = len(first_conv)
     steps = sum(count_fine_steps_per_iter(mgrit, it == 0) for it in range(iters))
@@ -412,29 +414,29 @@ def run_dd_toms_row(ref_full_sps):
     equal-accuracy column.  Reports the convergence history (tail <=
     1e-10) and the median-of-N steps/s of the same config re-run at the
     converged iteration count (run_ours protocol)."""
-    import jax
-    from pymgrit_tpu import Mgrit
-
     cfg = CONFIGS["toms129"]
     geom = dict(nx=cfg["nx"], ny=cfg["ny"], nt=cfg["nt"], ms=cfg["ms"])
-    jax.clear_caches()
-    problem = build_problem(precision='dd', **geom)
-    mgrit = Mgrit(problem=problem, tol=1e-10, max_iter=14, logging_lvl=30)
-    info = mgrit.solve_compiled()
-    conv = [float(c) for c in info["conv"]]
+    # ONE build (DD setup at this scale costs minutes of table/probe work):
+    # a fixed-14-iteration solve whose deterministic history yields the
+    # iterations-to-1e-10 count, and whose median-of-N re-solves give the
+    # sustained DD steps/s — the same per-iteration rate a tol=1e-10 run
+    # sees (tol only changes the exit point).
+    perf = run_ours("dd_toms129", max_iter=14, precision='dd', n_timed=3,
+                    **geom)
+    conv = perf["conv"]
+    n10 = next((i + 1 for i, c in enumerate(conv) if c <= 1e-10), None)
     out = {
         "config": "129^2 nt=16385 5-level 32/16/4/4, precision='dd', "
-                  "tol=1e-10 (equal accuracy vs the reference's fp64)",
-        "iterations_to_1e-10": len(conv),
+                  "fp64 tolerance class (equal accuracy vs the reference)",
+        "iterations_to_1e-10": n10,
         "conv": [float(f"{c:.4e}") for c in conv],
+        "residual_at_1e-10": (float(f"{conv[n10 - 1]:.4e}")
+                              if n10 else None),
         "residual_tail": conv[-1],
+        "solve_time_s": round(perf["solve_time_s"], 3),
+        "solve_time_spread_s": perf["solve_time_spread_s"],
+        "steps_per_sec": round(perf["steps_per_sec"], 2),
     }
-    del mgrit, problem, info                 # free the DD tubes before the
-    jax.clear_caches()                       # timing solver allocates its own
-    perf = run_ours("dd_toms129", max_iter=len(conv), precision='dd', **geom)
-    out["solve_time_s"] = round(perf["solve_time_s"], 3)
-    out["solve_time_spread_s"] = perf["solve_time_spread_s"]
-    out["steps_per_sec"] = round(perf["steps_per_sec"], 2)
     if ref_full_sps:
         out["vs_reference_fullnt"] = round(
             perf["steps_per_sec"] / ref_full_sps, 1)

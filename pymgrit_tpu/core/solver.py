@@ -1183,10 +1183,22 @@ class Mgrit:
 
         def body(carry):
             it, hist, state, u_save, aux, _ = carry
-            state = jax.lax.cond(it == 0,
-                                 lambda s: self._iteration_fn(s, lvl0_first_f=True),
-                                 lambda s: self._iteration_fn(s, lvl0_first_f=False),
-                                 state)
+            # lvl0_first_f gates EXACTLY one initial level-0 F-relaxation
+            # (reference mgrit.py:274: skipped for iterations > 0) — hoist
+            # that sweep into the cond instead of cond-ing two copies of
+            # the whole V-cycle: XLA's buffer assignment allocates both
+            # cond branches, so the duplicated cycle nearly doubled the
+            # body's transient footprint (round-5: the dd_toms129 row
+            # OOM'd 15.85G/15.75G with the duplicated body; condensed
+            # mode folds the cond away entirely since its level-0 F-relax
+            # is the identity).
+            def _init_f(s):
+                u, v, g = list(s[0]), list(s[1]), list(s[2])
+                u[0] = self._f_relax(0, u[0], g[0], lazy=self._lazy_f0)
+                return (tuple(u), tuple(v), tuple(g))
+
+            state = jax.lax.cond(it == 0, _init_f, lambda s: s, state)
+            state = self._iteration_fn(state, lvl0_first_f=False)
             if custom is not None:
                 conv, done, aux = custom(self, state, aux)
             elif use_jump:
