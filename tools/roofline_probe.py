@@ -64,6 +64,15 @@ def solve_time(build_problem_kw, solver_kw, n):
     m = Mgrit(problem=p, tol=1e-300, logging_lvl=30, **solver_kw)
     m.solve_compiled()                          # compile + warm
     t = timed_median(m, lambda: m.u[0], n)
+    # drop the device tubes + executable before the next build: at 257^2
+    # each solver holds a ~4 GB fine tube and three coexisting builds OOM
+    # the chip; the returned object keeps only the host-side static
+    # structure (levels, templates, cf_iter) the byte accounting reads
+    m.u = m.v = m.g = None
+    for attr in ("_u_save_dummy", "_cnd_stash", "_jit_solve_loop",
+                 "_compiled_conv_aux", "save_values_last_iter"):
+        if hasattr(m, attr):
+            setattr(m, attr, None)
     return t, m
 
 
