@@ -83,7 +83,12 @@ CONFIGS = {
 }
 
 N_TIMED = 5          # timed re-solves per row (median + spread reported)
-AMORT_K2 = 25        # long-solve iteration count for the amortized diff
+# Long-solve iteration count for the amortized diff.  The headline is
+# (steps(K2)-steps(K1)) / (t_median(K2)-t_median(K1)); with K2=25 the time
+# diff was only ~28 ms on the 129^2 headline config and a few ms of median
+# jitter put >10% noise on the quoted number.  K2=55 widens the diff window
+# to ~70 ms (50 extra iterations) so the same jitter is <5%.
+AMORT_K2 = 55
 
 
 def timed_median(m, fetch_leaf, n=N_TIMED):
@@ -443,6 +448,80 @@ def run_dd_toms_row(ref_full_sps):
     return out
 
 
+def run_xl_row(nm, basis):
+    """One 257^2 full-nt row (quarter-nt fallback on OOM); returns the
+    flat dict of artifact keys the row contributes."""
+    out = {}
+    try:
+        xl = run_ours(nm, nx=257, ny=257, nt=2 ** 14 + 1,
+                      ms=[32, 16, 4, 4], max_iter=5, basis=basis)
+    except Exception as e:                          # OOM etc.: report + retry
+        out[nm + "_error"] = repr(e)[:200]
+        try:                                        # quarter-nt fallback row
+            xl = run_ours(nm + "_nt4097", nx=257, ny=257, nt=4097,
+                          ms=[32, 16, 4], max_iter=5, basis=basis)
+            nm = nm + "_nt4097"
+        except Exception as e2:
+            out[nm + "_nt4097_error"] = repr(e2)[:200]
+            return out
+    if nm.startswith("toms257") and "nt4097" not in nm:
+        nm = (nm.replace("toms257_spectral", "toms257_spectral_fullnt")
+              if "spectral" in nm else nm.replace("toms257", "toms257_fullnt"))
+    out[nm + "_steps_per_sec"] = round(xl["steps_per_sec"], 2)
+    out[nm + "_conv"] = [float(f"{c:.4e}") for c in xl["conv"]]
+    out[nm + "_solve_time_s"] = round(xl["solve_time_s"], 3)
+    out[nm + "_spread_s"] = xl["solve_time_spread_s"]
+    if "executed_tflops_per_sec" in xl:
+        out[nm + "_executed_tflops_per_sec"] = round(
+            xl["executed_tflops_per_sec"], 3)
+        out[nm + "_mfu_vs_f32_highest_roofline"] = round(
+            xl["mfu_vs_f32_highest_roofline"], 4)
+    if "hbm_gbps_achieved" in xl:
+        out[nm + "_hbm_gbps_achieved"] = round(xl["hbm_gbps_achieved"], 1)
+    return out
+
+
+# -- subprocess row isolation (round-5): the r05 driver run showed a DD
+# full-scale row can CRASH the TPU worker ("kernel fault"), after which
+# every later row in the same process fails with UNAVAILABLE.  Rows known
+# to push HBM limits therefore run LAST and each in its OWN subprocess:
+# a worker crash is contained to that row, the parent never touches the
+# device afterward, and the artifact stays complete. --
+
+_ROW_MARK = "ROWJSON:"
+
+
+def run_row_subprocess(row, extra=(), timeout_s=1800):
+    """Run `python bench.py --row <row> [extra...]` and parse its final
+    ROWJSON line; any crash/timeout degrades to an {"error": ...} dict."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--row", row,
+           *map(str, extra)]
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout_s, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        return {row + "_error": f"row subprocess timed out after {timeout_s}s"}
+    for line in reversed(p.stdout.splitlines()):
+        if line.startswith(_ROW_MARK):
+            return json.loads(line[len(_ROW_MARK):])
+    return {row + "_error": (
+        f"row subprocess rc={p.returncode}: {(p.stderr or '')[-300:]}")}
+
+
+def _run_row_main(row, extra):
+    """--row entry point: one isolated row, result as a final ROWJSON line."""
+    os.environ.setdefault("PYMGRIT_TPU_NO_X64", "1")
+    if row == "dd_toms129":
+        ref = float(extra[0]) if extra else None
+        out = {"dd_toms129": run_dd_toms_row(ref)}
+    elif row.startswith("xl:"):
+        _, nm, basis = row.split(":")
+        out = run_xl_row(nm, basis)
+    else:
+        raise SystemExit(f"unknown --row {row!r}")
+    print(_ROW_MARK + json.dumps(out))
+
+
 def run_spatial_row():
     """BASELINE.json config 3: 4-level heat_2d WITH 2D spatial coarsening."""
     from pymgrit_tpu.models.grid_transfer_heat import GridTransferHeat2D
@@ -791,10 +870,6 @@ def main():
     parity = parity_iters_cpu()
 
     ref_sps = (ref_full or ref_toms or {}).get("steps_per_sec")
-    try:
-        dd_toms = run_dd_toms_row(ref_sps)
-    except Exception as e:                    # OOM etc.: report, keep benching
-        dd_toms = {"error": repr(e)[:300]}
 
     value = (headline_amort or {}).get(
         "device_steps_per_sec", headline["steps_per_sec"])
@@ -827,7 +902,6 @@ def main():
         "toms129_fulltube_steps_per_sec": round(fulltube["steps_per_sec"], 2),
         "toms129_sharded_steps_per_sec": round(sharded_sp["steps_per_sec"], 2),
         "toms129_sharded_spread_s": sharded_sp["solve_time_spread_s"],
-        "dd_toms129": dd_toms,
         "basis": ("spectral (eigen-coefficient state; histories identical to "
                   "physical in exact arithmetic — f64-pinned; f32 floors "
                   "differ, spectral lower; physical output needs one final "
@@ -867,40 +941,25 @@ def main():
             ref_full["steps_per_sec"], 2) if ref_full else None,
     }
 
-    # XL rows: 257^2 at the FULL nt=16385 — the at-scale evidence the
-    # round-3 compile failure blocked (both bases run by default since
-    # round-4; spectral measured 958.7k steps/s, physical 374.5k).
+    # XL + DD rows, LAST and each in an isolated subprocess (see the
+    # run_row_subprocess comment: the r05 run showed the DD full-scale row
+    # can crash the TPU worker and poison every later row in-process).
+    # XL: 257^2 at the FULL nt=16385 — the at-scale evidence the round-3
+    # compile failure blocked (round-4: spectral 958.7k steps/s, physical
+    # 374.5k).  DD: the equal-accuracy full-TOMS row.
     xl_names = [("toms257", 'physical'), ("toms257_spectral", 'spectral')]
     for nm, basis in xl_names:
-        try:
-            xl = run_ours(nm, nx=257, ny=257, nt=2 ** 14 + 1,
-                          ms=[32, 16, 4, 4], max_iter=5, basis=basis)
-        except Exception as e:                      # OOM etc.: report + retry
-            result[nm + "_error"] = repr(e)[:200]
-            try:                                    # quarter-nt fallback row
-                xl = run_ours(nm + "_nt4097", nx=257, ny=257, nt=4097,
-                              ms=[32, 16, 4], max_iter=5, basis=basis)
-                nm = nm + "_nt4097"
-            except Exception as e2:
-                result[nm + "_nt4097_error"] = repr(e2)[:200]
-                continue
-        if nm.startswith("toms257") and "nt4097" not in nm:
-            nm = (nm.replace("toms257_spectral", "toms257_spectral_fullnt")
-                  if "spectral" in nm else nm.replace("toms257", "toms257_fullnt"))
-        result[nm + "_steps_per_sec"] = round(xl["steps_per_sec"], 2)
-        result[nm + "_conv"] = [float(f"{c:.4e}") for c in xl["conv"]]
-        result[nm + "_solve_time_s"] = round(xl["solve_time_s"], 3)
-        result[nm + "_spread_s"] = xl["solve_time_spread_s"]
-        if "executed_tflops_per_sec" in xl:
-            result[nm + "_executed_tflops_per_sec"] = round(
-                xl["executed_tflops_per_sec"], 3)
-            result[nm + "_mfu_vs_f32_highest_roofline"] = round(
-                xl["mfu_vs_f32_highest_roofline"], 4)
-        if "hbm_gbps_achieved" in xl:
-            result[nm + "_hbm_gbps_achieved"] = round(
-                xl["hbm_gbps_achieved"], 1)
-            result[nm + "_pct_of_hbm_copy_roofline"] = round(
-                xl["hbm_gbps_achieved"] / copy_bw, 4)
+        result.update(run_row_subprocess(f"xl:{nm}:{basis}", timeout_s=1500))
+    for key in (k for k in list(result) if k.endswith("_hbm_gbps_achieved")
+                and k.startswith("toms257")):
+        result[key[:-len("_hbm_gbps_achieved")] + "_pct_of_hbm_copy_roofline"] \
+            = round(result[key] / copy_bw, 4)
+    dd_row = run_row_subprocess("dd_toms129",
+                                extra=[ref_sps] if ref_sps else [],
+                                timeout_s=2700)
+    dd_toms = dd_row.get("dd_toms129") or {
+        "error": dd_row.get("dd_toms129_error", "row subprocess failed")}
+    result["dd_toms129"] = dd_toms
 
     # durable artifact (VERDICT r3 weak-#5: the driver captures only a
     # 2000-char stdout tail — the full key set must survive on disk)
@@ -927,4 +986,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--row":
+        _run_row_main(sys.argv[2], sys.argv[3:])
+    else:
+        main()
