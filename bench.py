@@ -44,8 +44,8 @@ must reproduce in the driver's rerun):
   through this container's TPU relay carries ~20-30 ms launch noise on a
   ~0.1 s solve — 30% run-to-run drift was observed between rounds).
 * the HEADLINE is the steady-state device-amortized rate: median time of
-  a K2=25-iteration solve minus median time of the K1=5-iteration solve,
-  divided into the fine steps of the extra 20 iterations.  The fixed
+  a K2=55-iteration solve minus median time of the K1=5-iteration solve,
+  divided into the fine steps of the extra 50 iterations.  The fixed
   relay launch/output cost and the one-time materialization cancel in
   the difference, so the number measures what the device actually
   sustains — the figure a directly-attached TPU user sees, and the one
@@ -426,13 +426,21 @@ def run_dd_toms_row(ref_full_sps):
     # iterations-to-1e-10 count, and whose median-of-N re-solves give the
     # sustained DD steps/s — the same per-iteration rate a tol=1e-10 run
     # sees (tol only changes the exit point).
+    # basis='spectral': the closed-form interval hook supports DD only in
+    # eigen-coefficient state (heat_2d.relax_interval declines DD-physical),
+    # and without it the condensed level-0 carry declines too — the full
+    # 16385-row DD tube then crashes the TPU worker at this scale (measured
+    # r05).  Histories equal the physical basis in exact arithmetic (the
+    # f64-pinned spectral/physical equivalence test); DD-physical itself is
+    # benched at 65^2 (dd_heat2d row).
     perf = run_ours("dd_toms129", max_iter=14, precision='dd', n_timed=3,
-                    **geom)
+                    basis='spectral', **geom)
     conv = perf["conv"]
     n10 = next((i + 1 for i, c in enumerate(conv) if c <= 1e-10), None)
     out = {
         "config": "129^2 nt=16385 5-level 32/16/4/4, precision='dd', "
-                  "fp64 tolerance class (equal accuracy vs the reference)",
+                  "basis='spectral', fp64 tolerance class (equal accuracy "
+                  "vs the reference)",
         "iterations_to_1e-10": n10,
         "conv": [float(f"{c:.4e}") for c in conv],
         "residual_at_1e-10": (float(f"{conv[n10 - 1]:.4e}")
@@ -826,20 +834,20 @@ def main():
     # spectral state needs one final basis transform (2 GEMMs), not counted.
     geomT = {k: CONFIGS["toms129"][k] for k in ("nx", "ny", "nt", "ms")}
     toms = run_ours("toms129", basis='spectral', **CONFIGS["toms129"])
-    toms_k2 = run_ours("toms129_k25", basis='spectral', max_iter=AMORT_K2,
+    toms_k2 = run_ours("toms129_kamort", basis='spectral', max_iter=AMORT_K2,
                        **geomT)
     amort_core = amortized_pair(toms, toms_k2)
     fulltube = run_ours("toms129_fulltube", basis='spectral',
                         condensed=False, **CONFIGS["toms129"])
     physical = run_ours("toms129_physical", **CONFIGS["toms129"])
-    physical_k2 = run_ours("toms129_physical_k25", max_iter=AMORT_K2, **geomT)
+    physical_k2 = run_ours("toms129_physical_kamort", max_iter=AMORT_K2, **geomT)
     amort_physical = amortized_pair(physical, physical_k2)
     # shard_map executor on a 1-device mesh (round-3 headline); headline
     # takes the fastest executor BY THE AMORTIZED DEVICE RATE (stable),
     # not the noisy single-shot wall-clock
     sharded_sp = run_sharded("toms129_sharded", basis='spectral',
                              **CONFIGS["toms129"])
-    sharded_k2 = run_sharded("toms129_sharded_k25", basis='spectral',
+    sharded_k2 = run_sharded("toms129_sharded_kamort", basis='spectral',
                              max_iter=AMORT_K2, **geomT)
     amort_sharded = amortized_pair(sharded_sp, sharded_k2)
 

@@ -289,3 +289,38 @@ def test_condensed_decline_warns_with_reason(caplog):
                     max_iter=1, logging_lvl=40, condensed=False)
     assert not off._condensed0
     assert "DISABLED" not in "\n".join(r.message for r in caplog.records)
+
+
+@pytest.mark.core
+def test_condensed_dd_spectral_active_and_matches():
+    """The equal-accuracy bench row (dd_toms129) depends on this pairing:
+    the closed-form interval hook supports DD in SPECTRAL state, so the
+    condensed level-0 carry engages; DD-physical declines (named reason).
+    Round-5 measured consequence of losing it: the full 16385-row DD tube
+    at the TOMS scale crashes the TPU worker."""
+    def build(basis):
+        t = np.linspace(0, 1, 129)
+        out, s = [], 1
+        for _ in range(3):
+            out.append(Heat2D(x_start=0, x_end=1, y_start=0, y_end=1, nx=9,
+                              ny=9, a=1.0, rhs=_rhs, init_cond=_ic,
+                              t_interval=t[::s], basis=basis,
+                              precision='dd'))
+            s *= 4
+        return out
+
+    full = Mgrit(problem=build('spectral'), tol=1e-300, max_iter=4,
+                 logging_lvl=40, condensed=False)
+    rf = full.solve_compiled()['conv']
+    cnd = Mgrit(problem=build('spectral'), tol=1e-300, max_iter=4,
+                logging_lvl=40)
+    assert cnd._condensed0
+    rc = cnd.solve_compiled()['conv']
+    # same algorithm, different carry layout/summation order: agreement to
+    # DD roundoff (abs ~1e-13 pair floor), not bit equality
+    np.testing.assert_allclose(rc, rf, rtol=1e-3, atol=1e-12)
+
+    phys = Mgrit(problem=build('physical'), tol=1e-300, max_iter=1,
+                 logging_lvl=40)
+    assert not phys._condensed0
+    assert "declined this configuration" in (phys._cnd_decline_reason or "")
