@@ -44,13 +44,15 @@ must reproduce in the driver's rerun):
   through this container's TPU relay carries ~20-30 ms launch noise on a
   ~0.1 s solve — 30% run-to-run drift was observed between rounds).
 * the HEADLINE is the steady-state device-amortized rate: median time of
-  a K2=55-iteration solve minus median time of the K1=5-iteration solve,
-  divided into the fine steps of the extra 50 iterations.  The fixed
-  relay launch/output cost and the one-time materialization cancel in
-  the difference, so the number measures what the device actually
-  sustains — the figure a directly-attached TPU user sees, and the one
-  stable enough to re-quote (amortized-diff protocol per the round-4
-  phase attribution).  End-to-end medians are reported alongside.
+  a K2=205-iteration solve minus median time of the K1=5-iteration
+  solve, divided into the fine steps of the extra 200 iterations, taken
+  as the MEDIAN of 3 interleaved timing rounds spread over minutes (see
+  AMORT_K2/AMORT_ROUNDS).  The fixed relay launch/output cost and the
+  one-time materialization cancel in the difference, so the number
+  measures what the device actually sustains — the figure a
+  directly-attached TPU user sees, and the one stable enough to
+  re-quote (amortized-diff protocol per the round-4 phase attribution).
+  End-to-end medians are reported alongside.
 * dd_toms129 (round-5): the equal-accuracy row — precision='dd' at the
   FULL TOMS config to tol=1e-10, the only apples-to-apples column
   against the reference's fp64 runs (reference heat/heat_2d.py:322-366,
@@ -86,9 +88,16 @@ N_TIMED = 5          # timed re-solves per row (median + spread reported)
 # Long-solve iteration count for the amortized diff.  The headline is
 # (steps(K2)-steps(K1)) / (t_median(K2)-t_median(K1)); with K2=25 the time
 # diff was only ~28 ms on the 129^2 headline config and a few ms of median
-# jitter put >10% noise on the quoted number.  K2=55 widens the diff window
-# to ~70 ms (50 extra iterations) so the same jitter is <5%.
-AMORT_K2 = 55
+# jitter put >10% noise on the quoted number.  K2=205 widens the diff
+# window to ~260 ms of device time (200 extra iterations), and the
+# headline takes the MEDIAN of AMORT_ROUNDS interleaved (K1, K2) timing
+# rounds spread over minutes: measured r05, the relay/chip passes through
+# ~75 s slow phases that inflate EVERY sample taken inside them by
+# ~10-15%, so back-to-back medians still drifted; the median-of-rounds
+# rejects a round that lands in one.  Clean-round repeatability measured
+# at K2=205: +-1.4%.
+AMORT_K2 = 205
+AMORT_ROUNDS = 3
 
 
 def timed_median(m, fetch_leaf, n=N_TIMED):
@@ -135,6 +144,36 @@ def amortized_pair(row1, row2):
         d_b = (b2 * row2["solve_time_s"] - b1 * row1["solve_time_s"])
         out["device_hbm_gbps_achieved"] = round(d_b / d_t, 1)
     return out
+
+
+def amortized_robust(row1, mg1, row2, mg2, rounds=None, gap_s=45):
+    """Median-of-rounds amortized rate for the HEADLINE pair.
+
+    Re-times both warm solvers in `rounds` interleaved timing rounds with
+    `gap_s` seconds between them (round 0 reuses the rows' own medians)
+    and returns the round with the MEDIAN device rate, annotated with all
+    per-round rates.  The temporal spread is the point: the relay/chip
+    passes through ~75 s slow phases that inflate every sample taken
+    inside them, which back-to-back medians cannot reject."""
+    rounds = rounds or AMORT_ROUNDS
+    pairs = []
+    first = amortized_pair(row1, row2)
+    if first:
+        pairs.append(first)
+    for _ in range(rounds - 1):
+        time.sleep(gap_s)
+        r1 = dict(row1, solve_time_s=timed_median(mg1, lambda: mg1.u[0])[0])
+        r2 = dict(row2, solve_time_s=timed_median(mg2, lambda: mg2.u[0])[0])
+        p = amortized_pair(r1, r2)
+        if p:
+            pairs.append(p)
+    if not pairs:
+        return None
+    pairs.sort(key=lambda p: p["device_steps_per_sec"])
+    med = dict(pairs[len(pairs) // 2])
+    med["rounds_device_steps_per_sec"] = [
+        p["device_steps_per_sec"] for p in pairs]
+    return med
 
 
 def build_problem(nx, ny, nt, ms, precision=None, spatial=None, basis='physical'):
@@ -321,7 +360,7 @@ def min_hbm_bytes_per_solve(mgrit, iters):
 
 def run_ours(name, max_iter, tol=1e-300, precision=None, transfer=None,
              spatial=None, basis='physical', condensed=True,
-             n_timed=None, **cfg):
+             n_timed=None, return_solver=False, **cfg):
     import jax
     import numpy as _np
     from pymgrit_tpu import Mgrit
@@ -372,6 +411,8 @@ def run_ours(name, max_iter, tol=1e-300, precision=None, transfer=None,
         bts = min_hbm_bytes_per_solve(mgrit, iters)
         out["min_hbm_bytes_moved"] = bts
         out["hbm_gbps_achieved"] = bts / solve_time / 1e9
+    if return_solver:
+        return out, mgrit
     return out
 
 
@@ -833,10 +874,13 @@ def main():
     # returns the full fine tube); recovering physical solutions from
     # spectral state needs one final basis transform (2 GEMMs), not counted.
     geomT = {k: CONFIGS["toms129"][k] for k in ("nx", "ny", "nt", "ms")}
-    toms = run_ours("toms129", basis='spectral', **CONFIGS["toms129"])
-    toms_k2 = run_ours("toms129_kamort", basis='spectral', max_iter=AMORT_K2,
-                       **geomT)
-    amort_core = amortized_pair(toms, toms_k2)
+    toms, toms_mg = run_ours("toms129", basis='spectral', return_solver=True,
+                             **CONFIGS["toms129"])
+    toms_k2, toms_k2_mg = run_ours("toms129_kamort", basis='spectral',
+                                   max_iter=AMORT_K2, return_solver=True,
+                                   **geomT)
+    amort_core = amortized_robust(toms, toms_mg, toms_k2, toms_k2_mg)
+    del toms_mg, toms_k2_mg                  # free HBM before later rows
     fulltube = run_ours("toms129_fulltube", basis='spectral',
                         condensed=False, **CONFIGS["toms129"])
     physical = run_ours("toms129_physical", **CONFIGS["toms129"])
@@ -887,11 +931,13 @@ def main():
         "value": round(value, 2),
         "unit": "steps/s",
         "value_definition": (
-            "steady-state device-amortized rate: (steps(25 iter) - "
-            "steps(5 iter)) / (median time(25) - median time(5)); fixed "
-            "relay launch/output cost and one-time materialization cancel "
-            "in the diff — the stable, portable figure (see bench.py "
-            "docstring).  End-to-end medians + spreads reported below."),
+            f"steady-state device-amortized rate: (steps({AMORT_K2} iter) "
+            f"- steps(5 iter)) / (median time({AMORT_K2}) - median "
+            f"time(5)), median of {AMORT_ROUNDS} interleaved timing "
+            "rounds; fixed relay launch/output cost and one-time "
+            "materialization cancel in the diff — the stable, portable "
+            "figure (see bench.py docstring).  End-to-end medians + "
+            "spreads reported below."),
         "vs_baseline": round(vs, 3) if vs > 0 else None,
         "vs_baseline_source": ("full-nt reference measurement" if ref_full
                                else "nt-extrapolated reference measurement"),
