@@ -2,6 +2,7 @@
 external stack stand-in) driven from inside the jitted MGRIT solver."""
 
 import numpy as np
+import pytest
 import scipy.sparse as sp
 from scipy.sparse.linalg import spsolve
 
@@ -73,6 +74,52 @@ def test_callback_subprocess_stepper():
     dt = app0.t[1] - app0.t[0]
     expected = (1.0 / (1.0 + dt)) ** np.arange(9)
     np.testing.assert_allclose(u, expected, atol=1e-12)
+
+
+def test_callback_actual_thirdparty_torch():
+    """An ACTUAL third-party library (PyTorch) as the black-box stepper:
+    the operator is a cached torch LU factorization, state lives as torch
+    tensors inside the stepper, and only numpy arrays cross the
+    CallbackApplication boundary — the same flow the reference uses for
+    PETSc (heat_2D_petsc.py:54-81: KSP operator cached per dt, Vec
+    pack/unpack at the edges)."""
+    torch = pytest.importorskip("torch")
+
+    nx, nt = 33, 33
+    x = np.linspace(0, 2, nx)[1:-1]
+    n = nx - 2
+    fac = 1.0 / (x[1] - x[0]) ** 2
+    L = (np.diag(2 * fac * np.ones(n)) + np.diag(-fac * np.ones(n - 1), -1)
+         + np.diag(-fac * np.ones(n - 1), 1))
+    L_t = torch.from_numpy(L)                     # torch-side operator
+    eye_t = torch.eye(n, dtype=torch.float64)
+    lu_cache = {}                                 # dt -> opaque torch LU
+
+    def host_step(u, t_start, t_stop):
+        dt = round(float(t_stop - t_start), 14)
+        if dt not in lu_cache:                    # factorize only on dt change
+            lu_cache[dt] = torch.linalg.lu_factor(eye_t + dt * L_t)
+        LU, piv = lu_cache[dt]
+        b = torch.from_numpy(np.asarray(u)).reshape(n, 1)
+        return torch.linalg.lu_solve(LU, piv, b).numpy().ravel()
+
+    mk = lambda t_int: CallbackApplication(
+        host_step=host_step, vector_template=np.zeros(n),
+        vector_t_start=np.sin(np.pi * x), t_interval=t_int)
+    t = np.linspace(0, 2, nt)
+    conv_cb = Mgrit(problem=[mk(t), mk(t[::4]), mk(t[::16])],
+                    max_iter=4, logging_lvl=30, tol=1e-9).solve()['conv']
+
+    apps_native = [Heat1D(x_start=0, x_end=2, nx=nx, a=1,
+                          init_cond=lambda xx: np.sin(np.pi * xx),
+                          t_interval=t[::s]) for s in (1, 4, 16)]
+    conv_nat = Mgrit(problem=apps_native, max_iter=4, logging_lvl=30,
+                     tol=1e-9).solve()['conv']
+
+    assert len(conv_cb) == len(conv_nat)
+    np.testing.assert_allclose(conv_cb, conv_nat, rtol=1e-6, atol=1e-14)
+    # one opaque factorization per distinct dt (3 uniform levels -> 3 dts)
+    assert len(lu_cache) == 3
 
 
 class _MiniKSPLib:
