@@ -681,7 +681,13 @@ def run_atmgrit_equal_accuracy_row():
                                             logging_lvl=30)),
                    (f"atmgrit_k{k}", lambda p: AtMgrit(k, problem=p, tol=1e-300,
                                                        max_iter=3,
-                                                       logging_lvl=30))):
+                                                       logging_lvl=30)),
+                   # round-5: the EXACT chain-breaker — O(log n)-depth
+                   # associative-scan coarse solve (ops/prefix.py), same
+                   # histories as the sequential scan by construction
+                   ("prefix", lambda p: Mgrit(problem=p, tol=1e-300,
+                                              max_iter=3, logging_lvl=30,
+                                              coarsest_prefix=True))):
         jax.clear_caches()
         m = mk(build())
         info_first = m.solve_compiled()
@@ -692,8 +698,15 @@ def run_atmgrit_equal_accuracy_row():
     out["histories_match"] = bool(
         max(abs(a - b) / max(abs(a), 1e-30) for a, b in
             zip(out["scan_conv"], out[f"atmgrit_k{k}_conv"])) < 1e-3)
+    out["prefix_histories_match"] = bool(
+        max(abs(a - b) / max(abs(a), 1e-30) for a, b in
+            zip(out["scan_conv"], out["prefix_conv"])) < 1e-3)
     out["wallclock_speedup"] = round(
         out["scan_solve_time_s"] / out[f"atmgrit_k{k}_solve_time_s"], 3)
+    out["prefix_wallclock_speedup"] = round(
+        out["scan_solve_time_s"] / out["prefix_solve_time_s"], 3)
+    out["prefix_vs_atmgrit"] = round(
+        out[f"atmgrit_k{k}_solve_time_s"] / out["prefix_solve_time_s"], 3)
     return out
 
 

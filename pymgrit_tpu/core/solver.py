@@ -110,7 +110,8 @@ class Mgrit:
                  mesh=None, logging_lvl: int = logging.INFO, output_fcn=None,
                  output_lvl: int = 1, t_norm: int = 2, random_init_guess: bool = False,
                  conv_crit: int = 0, rng_seed: int = 0,
-                 lazy_f_relax: bool = False, condensed: bool = True) -> None:
+                 lazy_f_relax: bool = False, condensed: bool = True,
+                 coarsest_prefix: bool = False) -> None:
         logging.basicConfig(format='%(levelname)s - %(asctime)s - %(message)s',
                             datefmt='%d-%m-%y %H:%M:%S', level=logging_lvl, stream=sys.stdout)
 
@@ -180,6 +181,24 @@ class Mgrit:
                                 '. Poorly tested.')
 
         self.step_fns: List[Callable] = [p.step for p in problem]
+        # ---- parallel-prefix coarsest solve (ops/prefix.py): replace the
+        # sequential coarsest-level scan with an O(log n)-depth
+        # lax.associative_scan over composed affine maps.  Exact (same
+        # math, different association order) — the TPU-native counterpart
+        # of the chain-breaking AT-MGRIT approximates with truncated
+        # windows.  Opt-in: it requires the coarsest application to expose
+        # affine_coeffs(t0, t1) -> (A, b) with step(u) == A*u + b.
+        self._coarsest_prefix = bool(coarsest_prefix)
+        if self._coarsest_prefix:
+            if getattr(problem[-1], "affine_coeffs", None) is None:
+                raise Exception(
+                    "coarsest_prefix=True requires the coarsest-level "
+                    "application to define affine_coeffs(t_start, t_stop) "
+                    "-> (A, b) with step(u, t_start, t_stop) == A*u + b "
+                    "(elementwise per state leaf); "
+                    + type(problem[-1]).__name__ + " does not")
+            logging.info("Coarsest level uses the parallel-prefix "
+                         "(associative-scan) forward solve")
         # Double-double mode: states are float32 (hi, lo) pairs (ops/dd.py),
         # giving fp64-class residual floors on hardware without fp64.  Time
         # values must then also be DD-split: the grids are f64 on host and a
@@ -838,6 +857,14 @@ class Mgrit:
         u0 = vector.take(u, jnp.asarray([0]))
         x0 = jax.tree_util.tree_map(lambda a: a[0], u0)
         step = self.step_fns[lvl]
+        if self._coarsest_prefix and lvl == self.lvl_max - 1:
+            from pymgrit_tpu.ops.prefix import affine_prefix_states
+            aff = self.problem[lvl].affine_coeffs
+            A, b = jax.vmap(aff)(t[:-1], t[1:])
+            c = vector.add(b, vector.take(g, jnp.arange(1, nt))) \
+                if lvl > 0 else b
+            rest = affine_prefix_states(A, c, x0)
+            return self._pad_tube(vector.concat([u0, rest]), lvl)
         if lvl > 0:
             g_rest = vector.take(g, jnp.arange(1, nt))
 

@@ -39,6 +39,11 @@ class Dahlquist(Application):
         else:
             self.vector_template = np.zeros(())
             self.vector_t_start = np.ones(())
+            # all four integrators are affine (here: linear) scalar maps, so
+            # the solver's parallel-prefix coarsest solve (ops/prefix.py,
+            # Mgrit(coarsest_prefix=True)) applies; DD states keep the
+            # sequential scan (the prefix combine is plain-float only)
+            self.affine_coeffs = self._affine_coeffs
 
     def step(self, u_start, t_start, t_stop):
         z = (t_stop - t_start) * self.lambda_value
@@ -51,3 +56,17 @@ class Dahlquist(Application):
         # MR: implicit mid-point rule (reference dahlquist.py:107-109)
         k1 = -1 / (1 - z / 2) * u_start
         return u_start + (t_stop - t_start) * k1
+
+    def _affine_coeffs(self, t_start, t_stop):
+        """(A, b) with step(u, t0, t1) == A*u + b — the contract of the
+        parallel-prefix coarsest solve (core/solver.py:_forward_solve)."""
+        z = (t_stop - t_start) * self.lambda_value
+        zero = jnp.zeros(())
+        if self.method == 'BE':
+            return 1 / (1 - z), zero
+        if self.method == 'FE':
+            return 1 + z, zero
+        if self.method == 'TR':
+            return (1 + z / 2) / (1 - z / 2), zero
+        # MR keeps the reference's fixed -1 in k1 (dahlquist.py:107-109)
+        return 1 + (t_stop - t_start) * (-1 / (1 - z / 2)), zero

@@ -75,6 +75,12 @@ class Heat1D(Application):
         # every basis builds the table (the physical basis needs the
         # time-independence check + rhs0 for the closed-form relaxation)
         self._build_rhs_table()
+        if self._spectral and not self._dd:
+            # the spectral BE step is the elementwise affine map
+            # u -> u/(1+dt*lam) + dt*rhs_hat/(1+dt*lam): the solver's
+            # parallel-prefix coarsest solve applies exactly
+            # (ops/prefix.py, Mgrit(coarsest_prefix=True))
+            self.affine_coeffs = self._affine_coeffs_spectral
 
     def _build_rhs_table(self):
         """Tabulate rhs(x, t) over this level's grid times in ONE batched
@@ -211,6 +217,13 @@ class Heat1D(Application):
         if isinstance(u_hat, DD):
             u_hat = u_hat.to_float()
         return jnp.einsum('ij,...j->...i', jnp.asarray(self._S_np), u_hat)
+
+    def _affine_coeffs_spectral(self, t_start, t_stop):
+        """(A, c) with step(u, t0, t1) == A*u + c — the contract of the
+        parallel-prefix coarsest solve (core/solver.py:_forward_solve)."""
+        dt = t_stop - t_start
+        denom = 1.0 + dt * self.lam
+        return 1.0 / denom, dt * self._rhs_at(t_stop) / denom
 
     def step(self, u_start, t_start, t_stop):
         dt = t_stop - t_start

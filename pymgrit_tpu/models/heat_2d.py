@@ -163,6 +163,13 @@ class Heat2D(Application):
             # physical BE/CN builds the table too: the closed-form interval
             # relaxation needs the time-independence check + rhs0 samples
             self._build_rhs_table()
+        if self._spectral and not self._dd:
+            # the spectral theta-step is the elementwise affine map
+            # u -> A*u + c (see _step_spectral / _interval_tables), so the
+            # solver's parallel-prefix coarsest solve applies exactly
+            # (ops/prefix.py, Mgrit(coarsest_prefix=True)); DD keeps the
+            # sequential scan (the prefix combine is plain-float only)
+            self.affine_coeffs = self._affine_coeffs_spectral
 
     # ------------------------------------------------------------------
     # Runtime-operand channel (core/application.py): hand the big tables
@@ -428,6 +435,25 @@ class Heat2D(Application):
                 + dt * (self.theta * self._rhs_at(t_stop)
                         + (1 - self.theta) * self._rhs_at(t_start))
         return b / (1.0 + shift * Lam)
+
+    def _affine_coeffs_spectral(self, t_start, t_stop):
+        """(A, c) with _step_spectral(u, t0, t1) == A*u + c — the contract
+        of the parallel-prefix coarsest solve (core/solver.py:
+        _forward_solve).  Same algebra as _interval_tables, but traced with
+        runtime time operands so time-dependent rhs works."""
+        dt = t_stop - t_start
+        shift = dt * self.theta
+        lift_hat = self._rtp("lift_hat", lambda: self._lift_hat)
+        Lam = self._rtp("Lam", lambda: self._Lam)
+        denom = 1.0 + shift * Lam
+        if self.theta == 1.0:
+            return 1.0 / denom, \
+                (dt * self._rhs_at(t_stop) + shift * lift_hat) / denom
+        A = (1.0 - shift * Lam) / denom
+        c = ((shift * 2.0) * lift_hat
+             + dt * (self.theta * self._rhs_at(t_stop)
+                     + (1 - self.theta) * self._rhs_at(t_start))) / denom
+        return A, c
 
     def _interval_tables(self, dt, m1):
         """Per-level closed-form relaxation tables: the spectral theta-step
