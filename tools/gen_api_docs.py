@@ -51,6 +51,7 @@ MODULES = {
         "pymgrit_tpu.ops.ozaki",
         "pymgrit_tpu.ops.dirichlet_spectral",
         "pymgrit_tpu.ops.runge_kutta",
+        "pymgrit_tpu.ops.prefix",
     ],
     "utils": [
         "pymgrit_tpu.utils.plots",

@@ -18,7 +18,11 @@ case "${1:-}" in
     python -m pytest tests/ -q
     ;;
   *)
-    python -m pytest tests/ -m "core and not slow" -q
+    # -n 2: two xdist workers fill both cores of this box (serial drifted
+    # to ~5:40 as the tier grew; measured 3:56 with -n 2, same 143 green).
+    # The full suite stays serial: the slow tier's multi-process
+    # jax.distributed test spawns its own workers and would oversubscribe.
+    python -m pytest tests/ -m "core and not slow" -q -n 2
     ;;
 esac
 
