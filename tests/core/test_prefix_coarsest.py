@@ -128,6 +128,27 @@ def test_heat1d_spectral_prefix_history_matches():
 
 
 @pytest.mark.core
+def test_prefix_f_cycle_and_jump_criterion_match_scan():
+    # the prefix path must hold everywhere _forward_solve is reached:
+    # F-cycles re-enter the coarsest level repeatedly, and conv_crit=1
+    # exercises the jump criterion's distinct carry inside the fused loop
+    def build():
+        d0 = Dahlquist(t_start=0, t_stop=5, nt=513)
+        d1 = Dahlquist(t_interval=d0.t[::4])
+        d2 = Dahlquist(t_interval=d1.t[::4])
+        return [d0, d1, d2]
+    for kw in (dict(cycle_type='F'), dict(conv_crit=1)):
+        seq = Mgrit(problem=build(), tol=1e-300, max_iter=3,
+                    logging_lvl=40, **kw)
+        rs = seq.solve_compiled()['conv']
+        pfx = Mgrit(problem=build(), tol=1e-300, max_iter=3,
+                    logging_lvl=40, coarsest_prefix=True, **kw)
+        rp = pfx.solve_compiled()['conv']
+        np.testing.assert_allclose(np.asarray(rp), np.asarray(rs),
+                                   rtol=1e-9, atol=1e-13)
+
+
+@pytest.mark.core
 def test_prefix_requires_affine_capability():
     phys = [Heat2D(x_start=0, x_end=1, y_start=0, y_end=1, nx=9, ny=9,
                    a=1.0, init_cond=_ic, t_interval=np.linspace(0, 1, nt))
