@@ -22,7 +22,11 @@ case "${1:-}" in
     # to ~5:40 as the tier grew; measured 3:56 with -n 2, same 143 green).
     # The full suite stays serial: the slow tier's multi-process
     # jax.distributed test spawns its own workers and would oversubscribe.
-    python -m pytest tests/ -m "core and not slow" -q -n 2
+    if python -c "import xdist" 2>/dev/null; then
+      python -m pytest tests/ -m "core and not slow" -q -n 2
+    else
+      python -m pytest tests/ -m "core and not slow" -q
+    fi
     ;;
 esac
 
